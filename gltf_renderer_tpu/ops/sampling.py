@@ -1,0 +1,165 @@
+"""Monte-Carlo sampling routines (port of Source/Shaders/Sampling.hlsli).
+
+Cosine hemisphere (tangentless trick), GGX NDF iso/anisotropic + visible-normal
+sampling, and the hierarchical environment importance-map descent. All pure jnp,
+vectorized over leading dims; `u` are uniform [0,1] samples.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gltf_renderer_tpu.utils.math import (
+    PI,
+    TAU,
+    dot,
+    normalize,
+    saturate,
+    square_to_disk,
+    uv_to_unit_square,
+)
+from gltf_renderer_tpu.ops.bsdf import ggx_d, ggx_anisotropic_d
+
+
+def sample_hemisphere(u):
+    """Uniform hemisphere. Sampling.hlsli:7-14."""
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - u[..., 1] ** 2, 0.0))
+    return jnp.stack(
+        [sin_t * jnp.cos(u[..., 0] * TAU), sin_t * jnp.sin(u[..., 0] * TAU), u[..., 1]],
+        axis=-1,
+    )
+
+
+def sample_cosine_hemisphere_local(u):
+    """Cosine hemisphere via concentric disk, local (+z) frame. Sampling.hlsli:16-22."""
+    d = square_to_disk(uv_to_unit_square(u))
+    z = jnp.sqrt(jnp.maximum(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2, 0.0))
+    return jnp.concatenate([d, z[..., None]], axis=-1)
+
+
+def sample_cosine_hemisphere(n, u):
+    """Tangentless cosine-weighted sample about n. Sampling.hlsli:26-33."""
+    theta = TAU * u[..., 0]
+    y = 2.0 * u[..., 1] - 1.0
+    s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    sphere = jnp.stack([s * jnp.cos(theta), s * jnp.sin(theta), y], axis=-1)
+    return normalize(n + sphere)
+
+
+def cosine_hemisphere_pdf(n, v):
+    """Sampling.hlsli:35-38."""
+    return saturate(dot(n, v, keepdims=False) / PI)
+
+
+def sample_ggx_normal(a, u):
+    """GGX NDF-proportional half-vector in local frame. Sampling.hlsli:41-52."""
+    a = jnp.asarray(a)
+    phi = TAU * u[..., 0]
+    u2 = u[..., 1]
+    cos_t = jnp.sqrt(jnp.maximum((1.0 - u2) / (1.0 + (a * a - 1.0) * u2), 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
+
+
+def ggx_normal_pdf(a, n, h):
+    """pdf of sample_ggx_normal about world normal n. Sampling.hlsli:54-58."""
+    n_dot_h = dot(n, h, keepdims=False)
+    return ggx_d(a, n_dot_h) * n_dot_h
+
+
+def sample_ggx_anisotropic_normal(a, u):
+    """Stretched cosine-hemisphere anisotropic GGX NDF sample. Sampling.hlsli:60-65.
+
+    a: (..., 2) roughness^2 along (tangent, bitangent).
+    """
+    h = sample_cosine_hemisphere_local(u)
+    h = jnp.concatenate([h[..., 0:2] * a, h[..., 2:3]], axis=-1)
+    return normalize(h)
+
+
+def ggx_anisotropic_normal_pdf(a, h_local):
+    """Sampling.hlsli:67-70."""
+    return ggx_anisotropic_d(a, h_local) * h_local[..., 2]
+
+
+def sample_ggx_visible_normal(a, v_local, u):
+    """Visible-normal sampling with spherical caps (arXiv 2306.05044).
+
+    Sampling.hlsli:97-115. a: (...,2); v_local in the surface frame.
+    """
+    phi = TAU * u[..., 0]
+    vz = v_local[..., 2]
+    z = (1.0 - u[..., 1]) * (1.0 + vz) - vz
+    sin_t = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    c = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z], axis=-1)
+    hn = c + v_local
+    h = jnp.concatenate(
+        [a * hn[..., 0:2], jnp.maximum(hn[..., 2:3], 0.0)], axis=-1
+    )
+    return normalize(h)
+
+
+def sample_importance_map(mips, u):
+    """Hierarchical 2x2 descent over a luminance-sum mip pyramid.
+
+    Port of Sampling.hlsli SampleImportanceMap:123-163. `mips` is a list of
+    arrays, mips[0] the full (S, S) map, mips[-1] the (1, 1) total. Each mip is
+    the 2x2 *sum* of the previous (GenerateEnvironmentImportanceMapLevel).
+
+    The HLSL indexes textures as [x, y] (column, row); here each mip is stored
+    as mips[level][y, x]. Returns (uv, pdf) with pdf in square measure.
+    """
+    n_mips = len(mips)
+    size = mips[0].shape[0]
+    ux = u[..., 0]
+    uy = u[..., 1]
+    px = jnp.zeros(ux.shape, jnp.int32)
+    py = jnp.zeros(ux.shape, jnp.int32)
+    for level in range(n_mips - 2, -1, -1):
+        m = mips[level]
+        px = px * 2
+        py = py * 2
+        ul = m[py, px]
+        ur = m[py, px + 1]
+        ll = m[py + 1, px]
+        lr = m[py + 1, px + 1]
+        left = ul + ll
+        right = ur + lr
+        total = jnp.maximum(left + right, 1e-30)
+        prob_left = left / total
+        go_left = ux < prob_left
+        ux = jnp.where(
+            go_left,
+            ux / jnp.maximum(prob_left, 1e-30),
+            (ux - prob_left) / jnp.maximum(1.0 - prob_left, 1e-30),
+        )
+        px = jnp.where(go_left, px, px + 1)
+        top = jnp.where(go_left, ul, ur)
+        col = jnp.where(go_left, left, right)
+        prob_upper = top / jnp.maximum(col, 1e-30)
+        go_up = uy < prob_upper
+        uy = jnp.where(
+            go_up,
+            uy / jnp.maximum(prob_upper, 1e-30),
+            (uy - prob_upper) / jnp.maximum(1.0 - prob_upper, 1e-30),
+        )
+        py = jnp.where(go_up, py, py + 1)
+    total_sum = mips[-1][0, 0]
+    pdf = float(size) * float(size) * mips[0][py, px] / jnp.maximum(total_sum, 1e-30)
+    uv = jnp.stack(
+        [(px.astype(jnp.float32) + ux) / size, (py.astype(jnp.float32) + uy) / size],
+        axis=-1,
+    )
+    return uv, pdf
+
+
+def importance_map_pdf(mips, uv):
+    """pdf query for a given uv. Sampling.hlsli ImportanceMapPdf:165-174."""
+    size = mips[0].shape[0]
+    total_sum = jnp.maximum(mips[-1][0, 0], 1e-30)
+    # UVToPixel (Common.hlsli:12-15): (int2)(floor(uv * res) - .5)  — the -0.5
+    # before the int cast truncates toward zero, matching floor for >=0.
+    p = jnp.floor(uv * size) - 0.5
+    p = jnp.clip(p.astype(jnp.int32), 0, size - 1)
+    value = mips[0][p[..., 1], p[..., 0]]
+    return float(size) * float(size) * value / total_sum
