@@ -81,7 +81,11 @@ def test_tangent_space_codec_roundtrip():
     # 10-bit quantization: allow ~0.01 error.
     assert np.max(np.sum(n2 * n, axis=-1)) <= 1.0 + 1e-6
     assert np.percentile(np.abs(1 - np.sum(n2 * n, axis=-1)), 99) < 1e-4
-    assert np.percentile(np.abs(1 - np.sum(t2[:, :3] * t, axis=-1)), 99) < 5e-4
+    # Reference quirk (kept for image parity): EncodeTangentSpace stores
+    # angle/TAU + 0.5 (Vertex.hlsli:37) but DecodeTangentSpace reads
+    # angle = TAU * z (Vertex.hlsli:14) — decoded tangents come back rotated
+    # a half turn in the tangent plane: decode(encode(t)) == -t.
+    assert np.percentile(np.abs(1 - np.sum(t2[:, :3] * (-t), axis=-1)), 99) < 5e-4
     assert np.all(t2[:, 3] == w)
 
 
