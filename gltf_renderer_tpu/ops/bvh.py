@@ -1,0 +1,438 @@
+"""BVH build + stackless traversal for TPU.
+
+TPU-native replacement for DXR BLAS/TLAS (RayTracingAccelerationStructure.cpp):
+the scene is flattened to ONE world-space triangle soup (scene/flatten.py), and
+a single BVH is built over it — no two-level hierarchy, no per-ray instance
+transforms.
+
+Layout: *threaded* BVH (skip links, DFS order). Traversal is a lockstep
+while-loop with one node pointer per ray — no per-lane stacks, so it maps onto
+8x128 VPU lanes (and later a Pallas kernel) without scatter/gather stacks:
+  - AABB hit on internal node  -> next = i + 1 (DFS child follows parent)
+  - AABB miss, or leaf handled -> next = skip[i]
+Leaves hold up to LEAF_SIZE triangles, contiguous after reordering.
+
+Build: host-side binned SAH (numpy). Refit for skinned/morphed scenes: the
+topology is static; per-frame leaf/internal AABBs are recomputed bottom-up by
+depth levels (jit-able, vectorized per level) — the analogue of the reference's
+BLAS refit (RayTracingAccelerationStructure.cpp:110-158).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LEAF_SIZE = 4
+SAH_BINS = 16
+
+
+class FlatBVH(NamedTuple):
+    aabb_min: Any    # (N, 3) f32
+    aabb_max: Any    # (N, 3) f32
+    first: Any       # (N,) i32 — leaf: first slot in tri_order; internal: i+1
+    count: Any       # (N,) i32 — leaf triangle count; 0 for internal nodes
+    skip: Any        # (N,) i32 — node to visit on miss / after leaf (== N done)
+    right: Any       # (N,) i32 — internal: right-child index (refit); leaf: -1
+    tri_order: Any   # (T,) i32 — BVH slot -> original triangle id
+    levels: Any      # (N,) i32 — node depth (for vectorized refit)
+
+
+def _build_recursive(lo, hi, centroid, order):
+    """Recursive DFS build returning arrays (replaces the iterative draft)."""
+    t = len(order)
+    n_min, n_max, n_first, n_count, n_right, n_skip, n_level = [], [], [], [], [], [], []
+
+    import sys
+
+    sys.setrecursionlimit(max(10000, sys.getrecursionlimit()))
+
+    def area(lo_a, hi_a):
+        d = np.maximum(hi_a - lo_a, 0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    def build(begin, end, level):
+        node = len(n_min)
+        idx = order[begin:end]
+        n_min.append(lo[idx].min(0))
+        n_max.append(hi[idx].max(0))
+        n_first.append(begin)
+        n_count.append(0)
+        n_right.append(-1)
+        n_skip.append(-1)
+        n_level.append(level)
+        count = end - begin
+        if count <= LEAF_SIZE:
+            n_count[node] = count
+            return node
+
+        c = centroid[idx]
+        c_lo, c_hi = c.min(0), c.max(0)
+        extent = c_hi - c_lo
+        axis = int(np.argmax(extent))
+        mid = -1
+        if extent[axis] > 1e-12:
+            scale = SAH_BINS * (1.0 - 1e-6) / extent[axis]
+            bins = np.minimum(((c[:, axis] - c_lo[axis]) * scale).astype(np.int32), SAH_BINS - 1)
+            bin_count = np.bincount(bins, minlength=SAH_BINS)
+            bin_lo = np.full((SAH_BINS, 3), np.inf, np.float32)
+            bin_hi = np.full((SAH_BINS, 3), -np.inf, np.float32)
+            for b in np.nonzero(bin_count)[0]:
+                mask = bins == b
+                bin_lo[b] = lo[idx[mask]].min(0)
+                bin_hi[b] = hi[idx[mask]].max(0)
+            lc = np.cumsum(bin_count)[:-1]
+            rc = count - lc
+            l_lo = np.minimum.accumulate(bin_lo, 0)[:-1]
+            l_hi = np.maximum.accumulate(bin_hi, 0)[:-1]
+            r_lo = np.minimum.accumulate(bin_lo[::-1], 0)[::-1][1:]
+            r_hi = np.maximum.accumulate(bin_hi[::-1], 0)[::-1][1:]
+            cost = area(l_lo, l_hi) * lc + area(r_lo, r_hi) * rc
+            cost = np.where((lc == 0) | (rc == 0), np.inf, cost)
+            best = int(np.argmin(cost))
+            if np.isfinite(cost[best]):
+                sel = bins <= best
+                left_idx = idx[sel]
+                right_idx = idx[~sel]
+                order[begin : begin + len(left_idx)] = left_idx
+                order[begin + len(left_idx) : end] = right_idx
+                mid = begin + len(left_idx)
+        if mid <= begin or mid >= end:
+            # Median split fallback.
+            mid = begin + count // 2
+            sel = np.argsort(c[:, axis], kind="stable")
+            order[begin:end] = idx[sel]
+
+        build(begin, mid, level + 1)
+        right = build(mid, end, level + 1)
+        n_first[node] = node + 1
+        n_right[node] = right
+        return node
+
+    build(0, t, 0)
+    n = len(n_min)
+
+    # Skip links: DFS property — skip(root)=N; skip(left)=right sibling;
+    # skip(right)=skip(parent); leaf skip likewise.
+    skip = np.full(n, n, np.int32)
+
+    def assign_skip(node, skip_val):
+        stack = [(node, skip_val)]
+        while stack:
+            nd, sv = stack.pop()
+            skip[nd] = sv
+            if n_count[nd] == 0:
+                left = nd + 1
+                right = n_right[nd]
+                stack.append((left, right))
+                stack.append((right, sv))
+
+    assign_skip(0, n)
+    return (
+        np.asarray(n_min, np.float32).reshape(n, 3),
+        np.asarray(n_max, np.float32).reshape(n, 3),
+        np.asarray(n_first, np.int32),
+        np.asarray(n_count, np.int32),
+        skip,
+        np.asarray(n_right, np.int32),
+        np.asarray(n_level, np.int32),
+    )
+
+
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> FlatBVH:
+    """Build a threaded BVH (host). v0/v1/v2: (T, 3) triangle vertices."""
+    t = len(v0)
+    if t == 0:
+        return FlatBVH(
+            np.zeros((1, 3), np.float32),
+            np.zeros((1, 3), np.float32),
+            np.ones(1, np.int32),
+            np.zeros(1, np.int32),
+            np.ones(1, np.int32),
+            np.full(1, -1, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(1, np.int32),
+        )
+    lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    centroid = ((lo + hi) * 0.5).astype(np.float32)
+    order = np.arange(t, dtype=np.int32)
+    n_min, n_max, first, count, skip, right, level = _build_recursive(lo, hi, centroid, order)
+    return FlatBVH(n_min, n_max, first, count, skip, right, order, level)
+
+
+def refit(bvh: FlatBVH, v0, v1, v2) -> FlatBVH:
+    """Jit-able AABB refit with static topology (bottom-up by depth level).
+
+    v0/v1/v2: (T, 3) current world triangle vertices (original triangle order).
+    """
+    tri = bvh.tri_order
+    t_lo = jnp.minimum(jnp.minimum(v0[tri], v1[tri]), v2[tri])
+    t_hi = jnp.maximum(jnp.maximum(v0[tri], v1[tri]), v2[tri])
+
+    n = bvh.count.shape[0]
+    is_leaf = bvh.count > 0
+    # Leaf AABBs: min/max over up to LEAF_SIZE slots.
+    slot = bvh.first[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+    valid = jnp.arange(LEAF_SIZE)[None, :] < bvh.count[:, None]
+    slot = jnp.clip(slot, 0, max(t_lo.shape[0] - 1, 0))
+    leaf_lo = jnp.where(valid[..., None], t_lo[slot], jnp.inf).min(1)
+    leaf_hi = jnp.where(valid[..., None], t_hi[slot], -jnp.inf).max(1)
+
+    lo_arr = jnp.where(is_leaf[:, None], leaf_lo, jnp.inf)
+    hi_arr = jnp.where(is_leaf[:, None], leaf_hi, -jnp.inf)
+
+    levels = np.asarray(bvh.levels)
+    counts = np.asarray(bvh.count)
+    max_level = int(levels.max()) if n else 0
+    idx_all = np.arange(n)
+    for lev in range(max_level - 1, -1, -1):
+        sel = np.nonzero((levels == lev) & (counts == 0))[0]
+        if len(sel) == 0:
+            continue
+        sel_j = jnp.asarray(sel, jnp.int32)
+        left = sel_j + 1
+        right = bvh.right[sel_j]
+        child_lo = jnp.minimum(lo_arr[left], lo_arr[right])
+        child_hi = jnp.maximum(hi_arr[left], hi_arr[right])
+        lo_arr = lo_arr.at[sel_j].set(child_lo)
+        hi_arr = hi_arr.at[sel_j].set(child_hi)
+    return bvh._replace(aabb_min=lo_arr, aabb_max=hi_arr)
+
+
+# ---------------------------------------------------------------------------
+# Traversal (jnp wavefront; every ray advances one BVH node per step)
+# ---------------------------------------------------------------------------
+
+def _as_device(bvh: FlatBVH) -> FlatBVH:
+    """Move compute-path fields to jnp (identity when already traced/device).
+
+    `levels` stays host-side: it drives the Python-level refit loop structure.
+    """
+    return bvh._replace(
+        aabb_min=jnp.asarray(bvh.aabb_min),
+        aabb_max=jnp.asarray(bvh.aabb_max),
+        first=jnp.asarray(bvh.first),
+        count=jnp.asarray(bvh.count),
+        skip=jnp.asarray(bvh.skip),
+        right=jnp.asarray(bvh.right),
+        tri_order=jnp.asarray(bvh.tri_order),
+    )
+
+
+class Hit(NamedTuple):
+    t: Any        # (R,) f32 — hit distance (t_max if miss)
+    tri: Any      # (R,) i32 — triangle id (-1 = miss)
+    u: Any        # (R,) f32 barycentric
+    v: Any        # (R,) f32
+
+
+def _ray_tri(origin, direction, p0, e1, e2, t_min, t_max):
+    """Möller–Trumbore. origin/direction (R,3); p0/e1/e2 (R,K,3).
+
+    Returns (hit mask, t, u, v, det) each (R, K). det > 0 <=> front face
+    (CCW winding seen against the ray, DXR default — PathTracer.lib.hlsl:842).
+    """
+    o = origin[:, None, :]
+    d = direction[:, None, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, -1) * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min[:, None])
+        & (t < t_max[:, None])
+    )
+    return hit, t, u, v, det
+
+
+def _aabb_hit(origin, inv_dir, lo, hi, t_min, t_max):
+    """Slab test. origin/inv_dir (R,3); lo/hi (R,3)."""
+    t0 = (lo - origin) * inv_dir
+    t1 = (hi - origin) * inv_dir
+    tn = jnp.minimum(t0, t1).max(-1)
+    tf = jnp.maximum(t0, t1).min(-1)
+    return (tf >= jnp.maximum(tn, t_min)) & (tn <= t_max)
+
+
+def intersect_closest(
+    bvh: FlatBVH,
+    v0,
+    e1,
+    e2,
+    origin,
+    direction,
+    t_min,
+    t_max,
+    tri_mask=None,
+    cull_sign: int = 0,
+    cull_disable=None,
+) -> Hit:
+    """Closest-hit traversal for a batch of rays.
+
+    v0/e1/e2: (T, 3) triangle data in *BVH slot order* (pre-gathered via
+    bvh.tri_order). tri_mask: optional (T,) bool in slot order — triangles with
+    False are skipped. cull_sign: 0 none, +1 cull back faces (det<0), -1 cull
+    front faces — per-triangle override via cull_disable (T,) bool in slot
+    order (double-sided materials, D3D12_RAYTRACING_INSTANCE_FLAG_TRIANGLE_
+    CULL_DISABLE in Pathtracer.cpp:221-223).
+    Returns Hit with `tri` as ORIGINAL triangle ids.
+    """
+    bvh = _as_device(bvh)
+    n_nodes = bvh.count.shape[0]
+    n_rays = origin.shape[0]
+    inv_dir = jnp.where(
+        jnp.abs(direction) > 1e-20, 1.0 / direction, jnp.sign(direction) * 1e20 + 1e20
+    )
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_tri, best_u, best_v = state
+        node_c = jnp.clip(node, 0, n_nodes - 1)
+        alive = node < n_nodes
+        lo = bvh.aabb_min[node_c]
+        hi = bvh.aabb_max[node_c]
+        count = bvh.count[node_c]
+        first = bvh.first[node_c]
+        skip = bvh.skip[node_c]
+
+        box_hit = _aabb_hit(origin, inv_dir, lo, hi, t_min, best_t) & alive
+        is_leaf = count > 0
+
+        # Leaf: test up to LEAF_SIZE triangles.
+        do_tris = box_hit & is_leaf
+        slot = first[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+        valid = (jnp.arange(LEAF_SIZE)[None, :] < count[:, None]) & do_tris[:, None]
+        slot_c = jnp.clip(slot, 0, max(v0.shape[0] - 1, 0))
+        h, t, u, v, det = _ray_tri(
+            origin, direction, v0[slot_c], e1[slot_c], e2[slot_c], t_min, best_t
+        )
+        h = h & valid
+        if tri_mask is not None:
+            h = h & tri_mask[slot_c]
+        if cull_sign:
+            culled = det * cull_sign < 0.0
+            if cull_disable is not None:
+                culled = culled & (~cull_disable[slot_c])
+            h = h & (~culled)
+        # Pick the best triangle in this leaf.
+        t_masked = jnp.where(h, t, jnp.inf)
+        k = jnp.argmin(t_masked, -1)
+        rows = jnp.arange(n_rays)
+        leaf_t = t_masked[rows, k]
+        leaf_hit = leaf_t < best_t
+        best_tri = jnp.where(leaf_hit, slot_c[rows, k], best_tri)
+        best_u = jnp.where(leaf_hit, u[rows, k], best_u)
+        best_v = jnp.where(leaf_hit, v[rows, k], best_v)
+        best_t = jnp.where(leaf_hit, leaf_t, best_t)
+
+        descend = box_hit & (~is_leaf)
+        next_node = jnp.where(descend, node_c + 1, skip)
+        next_node = jnp.where(alive, next_node, node)
+        return next_node, best_t, best_tri, best_u, best_v
+
+    node0 = jnp.zeros(n_rays, jnp.int32)
+    state = (
+        node0,
+        jnp.asarray(t_max, jnp.float32) * jnp.ones(n_rays, jnp.float32)
+        if jnp.ndim(t_max) == 0
+        else t_max,
+        jnp.full(n_rays, -1, jnp.int32),
+        jnp.zeros(n_rays, jnp.float32),
+        jnp.zeros(n_rays, jnp.float32),
+    )
+    node, t, tri_slot, u, v = jax.lax.while_loop(cond, body, state)
+    tri_id = jnp.where(tri_slot >= 0, bvh.tri_order[jnp.clip(tri_slot, 0, None)], -1)
+    return Hit(t=t, tri=tri_id, u=u, v=v)
+
+
+def intersect_any(
+    bvh: FlatBVH,
+    v0,
+    e1,
+    e2,
+    origin,
+    direction,
+    t_min,
+    t_max,
+    tri_mask=None,
+    cull_sign: int = 0,
+    cull_disable=None,
+) -> Any:
+    """Binary occlusion query: True where ANY (unmasked) triangle is hit.
+
+    Early-out per ray: a ray that finds a hit jumps to the DONE node.
+    """
+    bvh = _as_device(bvh)
+    n_nodes = bvh.count.shape[0]
+    n_rays = origin.shape[0]
+    inv_dir = jnp.where(
+        jnp.abs(direction) > 1e-20, 1.0 / direction, jnp.sign(direction) * 1e20 + 1e20
+    )
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, occluded = state
+        node_c = jnp.clip(node, 0, n_nodes - 1)
+        alive = node < n_nodes
+        lo = bvh.aabb_min[node_c]
+        hi = bvh.aabb_max[node_c]
+        count = bvh.count[node_c]
+        first = bvh.first[node_c]
+        skip = bvh.skip[node_c]
+
+        box_hit = _aabb_hit(origin, inv_dir, lo, hi, t_min, t_max) & alive
+        is_leaf = count > 0
+        do_tris = box_hit & is_leaf
+        slot = first[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+        valid = (jnp.arange(LEAF_SIZE)[None, :] < count[:, None]) & do_tris[:, None]
+        slot_c = jnp.clip(slot, 0, max(v0.shape[0] - 1, 0))
+        h, t, u, v, det = _ray_tri(
+            origin, direction, v0[slot_c], e1[slot_c], e2[slot_c], t_min,
+            jnp.broadcast_to(t_max, t_min.shape) if jnp.ndim(t_max) == 0 else t_max,
+        )
+        h = h & valid
+        if tri_mask is not None:
+            h = h & tri_mask[slot_c]
+        if cull_sign:
+            culled = det * cull_sign < 0.0
+            if cull_disable is not None:
+                culled = culled & (~cull_disable[slot_c])
+            h = h & (~culled)
+        occluded = occluded | jnp.any(h, -1)
+
+        descend = box_hit & (~is_leaf)
+        next_node = jnp.where(descend, node_c + 1, skip)
+        next_node = jnp.where(occluded, n_nodes, next_node)  # early out
+        next_node = jnp.where(alive, next_node, node)
+        return next_node, occluded
+
+    state = (jnp.zeros(n_rays, jnp.int32), jnp.zeros(n_rays, bool))
+    _, occluded = jax.lax.while_loop(cond, body, state)
+    return occluded
+
+
+def gather_slot_triangles(bvh: FlatBVH, wpos, tri_vertex):
+    """Pre-gather (v0, e1, e2) in BVH slot order from world positions."""
+    tv = tri_vertex[bvh.tri_order]
+    p0 = wpos[tv[:, 0]]
+    p1 = wpos[tv[:, 1]]
+    p2 = wpos[tv[:, 2]]
+    return p0, p1 - p0, p2 - p0

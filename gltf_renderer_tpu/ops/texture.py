@@ -1,0 +1,97 @@
+"""Bindless-style texture sampling from the shared atlas.
+
+TPU equivalent of Material.hlsli SampleTexture:90-96 (SampleLevel 0, bindless
+SRV + sampler heap): per-sample texture ids index the TextureTable; wrap modes
+are applied per texel *before* the atlas gather (exact — no bleeding), sRGB
+decode happens per texel before bilinear filtering (matches hardware sRGB
+views, Gltf.cpp:1048-1078).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gltf_renderer_tpu.scene.types import TextureTable, WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT
+from gltf_renderer_tpu.utils.math import decode_srgb
+
+
+def transform_uv(uv, rotation, offset, scale):
+    """KHR_texture_transform (Material.hlsli TransformUv:68-88):
+    uv' = translate(offset) * rot(rotation) * scale applied to (u, v, 1)."""
+    su = uv[..., 0] * scale[..., 0]
+    sv = uv[..., 1] * scale[..., 1]
+    c = jnp.cos(rotation)
+    s = jnp.sin(rotation)
+    ru = c * su + s * sv
+    rv = -s * su + c * sv
+    return jnp.stack([ru + offset[..., 0], rv + offset[..., 1]], axis=-1)
+
+
+def _wrap(coord, size, mode):
+    """Integer texel wrap. coord (R,), size (R,), mode (R,)."""
+    rep = jnp.mod(coord, size)
+    clam = jnp.clip(coord, 0, size - 1)
+    period = 2 * size
+    m = jnp.mod(coord, period)
+    mir = jnp.where(m >= size, period - 1 - m, m)
+    out = jnp.where(mode == WRAP_REPEAT, rep, jnp.where(mode == WRAP_CLAMP, clam, mir))
+    return out
+
+
+def sample_texture(tex: TextureTable, tex_id, uv, rotation=None, offset=None, scale=None):
+    """Sample level 0 with bilinear (or per-texture nearest) filtering.
+
+    tex_id: (R,) int32 (-1 = absent -> returns 1.0 white).
+    uv: (R, 2). Returns (R, 4) float32 linear-space RGBA.
+    """
+    if rotation is not None:
+        uv = transform_uv(uv, rotation, offset, scale)
+
+    present = tex_id >= 0
+    tid = jnp.clip(tex_id, 0, max(tex.x.shape[0] - 1, 0))
+    w = tex.width[tid]
+    h = tex.height[tid]
+    ox = tex.x[tid]
+    oy = tex.y[tid]
+    ws = tex.wrap_s[tid]
+    wt = tex.wrap_t[tid]
+    nearest = tex.nearest[tid]
+    srgb = tex.srgb[tid]
+
+    fx = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    fy = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    ah, aw = tex.atlas.shape[0], tex.atlas.shape[1]
+
+    def fetch(xi, yi):
+        xi = _wrap(xi, w, ws) + ox
+        yi = _wrap(yi, h, wt) + oy
+        xi = jnp.clip(xi, 0, aw - 1)
+        yi = jnp.clip(yi, 0, ah - 1)
+        texel = tex.atlas[yi, xi].astype(jnp.float32) / 255.0
+        rgb = jnp.where(srgb[..., None] == 1, decode_srgb(texel[..., :3]), texel[..., :3])
+        return jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    txe = tx[..., None]
+    tye = ty[..., None]
+    bilinear = (c00 * (1 - txe) + c10 * txe) * (1 - tye) + (c01 * (1 - txe) + c11 * txe) * tye
+
+    # Point sampling: texel = floor(uv * size).
+    nx = jnp.clip(_wrap(jnp.floor(uv[..., 0] * w).astype(jnp.int32), w, ws) + ox, 0, aw - 1)
+    ny = jnp.clip(_wrap(jnp.floor(uv[..., 1] * h).astype(jnp.int32), h, wt) + oy, 0, ah - 1)
+    ptexel = tex.atlas[ny, nx].astype(jnp.float32) / 255.0
+    prgb = jnp.where(srgb[..., None] == 1, decode_srgb(ptexel[..., :3]), ptexel[..., :3])
+    point = jnp.concatenate([prgb, ptexel[..., 3:4]], axis=-1)
+
+    out = jnp.where((nearest == 1)[..., None], point, bilinear)
+    return jnp.where(present[..., None], out, jnp.ones_like(out))
