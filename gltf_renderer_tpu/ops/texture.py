@@ -44,6 +44,9 @@ def sample_texture(tex: TextureTable, tex_id, uv, rotation=None, offset=None, sc
     tex_id: (R,) int32 (-1 = absent -> returns 1.0 white).
     uv: (R, 2). Returns (R, 4) float32 linear-space RGBA.
     """
+    if tex.x.shape[0] == 0:  # textureless scene — every slot absent
+        return jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
+
     if rotation is not None:
         uv = transform_uv(uv, rotation, offset, scale)
 

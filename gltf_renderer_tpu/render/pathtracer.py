@@ -102,11 +102,11 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
     )
     scene = PTScene(
         world=world,
-        bvh=tree,
-        slot_v0=sv0,
-        slot_e1=se1,
-        slot_e2=se2,
-        slot_cull_disable=ds,
+        bvh=bvh_ops._as_device(tree),
+        slot_v0=jnp.asarray(sv0),
+        slot_e1=jnp.asarray(se1),
+        slot_e2=jnp.asarray(se2),
+        slot_cull_disable=jnp.asarray(ds),
         materials=materials,
         textures=textures,
         lights=lights,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, List, NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gltf_renderer_tpu.scene import types as T
@@ -221,6 +222,8 @@ def build_world_geometry(
     source from the dynamic pools (still node-local space — bones are
     premultiplied by inverse(node.global), Renderer.cpp:414).
     """
+    plan = jax.tree.map(jnp.asarray, plan)
+    tri_flags = {k: jnp.asarray(v) for k, v in tri_flags.items()}
     vm = plan.vertex_map
     vn = plan.vertex_node
 
