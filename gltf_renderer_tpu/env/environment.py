@@ -1,0 +1,286 @@
+"""Environment-map pipeline: equirect -> cubemap (+mips), GGX-prefiltered cube,
+diffuse-convolved cube, luminance importance pyramid; plus sampling/eval fns.
+
+Port of EnvironmentMap.cpp:84-455 and the five compute shaders
+(ConvertEquirectangularToCubemap, GenerateMipLevelArray,
+FilterEnvironmentCubeMap, GenerateEnvironmentImportanceMap(+Level)) as jitted
+array programs. Deviation (documented): the cube resolution is a power of two
+(the reference's formula `(W/4)/2 + 1` is flagged `TODO ... not correct`,
+EnvironmentMap.cpp:92); importance map stays 1024^2 with a *sum* (not mean)
+pyramid (GenerateEnvironmentImportanceMapLevel.cs.hlsl:27-31).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gltf_renderer_tpu.ops import rng
+from gltf_renderer_tpu.ops import sampling
+from gltf_renderer_tpu.ops.bsdf import ggx_d
+from gltf_renderer_tpu.utils.math import (
+    PI,
+    cubemap_to_direction,
+    direction_to_cubemap,
+    direction_to_equirectangular,
+    luminance,
+    normalize,
+    reflect,
+    saturate,
+    square_to_sphere,
+    sphere_to_square,
+    to_world,
+    unit_square_to_uv,
+    uv_to_unit_square,
+    create_basis,
+)
+
+IMPORTANCE_RESOLUTION = 1024       # EnvironmentMap.cpp:99
+DIFFUSE_RESOLUTION = 256           # EnvironmentMap.cpp:114
+GGX_SMALLEST_MIP = 4               # EnvironmentMap.cpp:106
+GGX_SAMPLES, GGX_MIP_BIAS = 256, 2.0       # EnvironmentMap.cpp:395
+DIFFUSE_SAMPLES, DIFFUSE_MIP_BIAS = 512, 3.0  # EnvironmentMap.cpp:400
+
+
+class EnvMaps(NamedTuple):
+    """Device pytree for one environment."""
+
+    cube: List[Any]        # mip list of (6, S, S, 3) f32
+    ggx: List[Any]         # mip list (roughness = (i/(n-1))^2)
+    diffuse: Any           # (6, D, D, 3)
+    importance: List[Any]  # mip list of (S, S) luminance *sums*; [-1] is (1,1)
+    equirect: Any          # (H, W, 3) source
+
+
+# ---------------------------------------------------------------------------
+# Sampling helpers over cube/equirect textures
+# ---------------------------------------------------------------------------
+
+def sample_equirect(img, uv):
+    """Bilinear, wrap-x / clamp-y."""
+    h, w = img.shape[0], img.shape[1]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi, w)
+        yi = jnp.clip(yi, 0, h - 1)
+        return img[yi, xi]
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
+
+
+def sample_cube_level(faces, direction):
+    """Bilinear within one cube mip (faces (6, S, S, 3)); face-clamped."""
+    face, uv = direction_to_cubemap(direction)
+    s = faces.shape[1]
+    fx = uv[..., 0] * s - 0.5
+    fy = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+
+    def fetch(xi, yi):
+        xi = jnp.clip(xi, 0, s - 1)
+        yi = jnp.clip(yi, 0, s - 1)
+        return faces[face, yi, xi]
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
+
+
+def sample_cube(mips: List[Any], direction, level):
+    """Trilinear across a mip list; `level` may be fractional (R,)."""
+    n = len(mips)
+    level = jnp.clip(level, 0.0, n - 1)
+    l0 = jnp.floor(level).astype(jnp.int32)
+    frac = (level - l0.astype(jnp.float32))[..., None]
+    out0 = jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    out1 = jnp.zeros_like(out0)
+    for i in range(n):
+        c = sample_cube_level(mips[i], direction)
+        out0 = jnp.where((l0 == i)[..., None], c, out0)
+        out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == i)[..., None], c, out1)
+    return out0 * (1 - frac) + out1 * frac
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+def _face_pixel_dirs(size):
+    uv = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    u, v = jnp.meshgrid(uv, uv, indexing="xy")  # u = x, v = y
+    dirs = []
+    for f in range(6):
+        face = jnp.full(u.shape, f, jnp.int32)
+        d = cubemap_to_direction(face, jnp.stack([u, v], -1))
+        dirs.append(d)
+    return jnp.stack(dirs, 0)  # (6, S, S, 3)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def build_cubemap(equirect, size: int):
+    """ConvertEquirectangularToCubemap.cs.hlsl port."""
+    dirs = _face_pixel_dirs(size)
+    uv = direction_to_equirectangular(dirs)
+    uv = jnp.stack([jnp.mod(uv[..., 0], 1.0), uv[..., 1]], -1)
+    return sample_equirect(equirect, uv)
+
+
+def build_cube_mips(cube0) -> List[Any]:
+    """GenerateMipLevelArray.cs.hlsl: 2x2 box filter down to 1x1."""
+    mips = [cube0]
+    cur = cube0
+    while cur.shape[1] > 1:
+        s = cur.shape[1] // 2
+        cur = 0.25 * (
+            cur[:, 0::2, 0::2] + cur[:, 1::2, 0::2] + cur[:, 0::2, 1::2] + cur[:, 1::2, 1::2]
+        )
+        mips.append(cur)
+    return mips
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
+def _filter_cube_level(cube_mips, size, a, num_samples, mip_bias, bsdf_ggx: bool):
+    """One output mip of FilterEnvironmentCubeMap.cs.hlsl (filtered importance
+    sampling over an R2 sequence)."""
+    dirs = _face_pixel_dirs(size)  # (6, S, S, 3)
+    n = dirs.reshape(-1, 3)
+    t, b = create_basis(n)
+    input_width = cube_mips[0].shape[1]
+    mip_count = len(cube_mips)
+    omega_p = (4.0 * PI) / (6.0 * input_width * input_width)
+
+    def body(i, carry):
+        total, total_w = carry
+        u = rng.r2(jnp.asarray([0.5, 0.5], jnp.float32), i.astype(jnp.float32))
+        u = jnp.broadcast_to(u, n.shape[:-1] + (2,))
+        if bsdf_ggx:
+            h_local = sampling.sample_ggx_normal(a, u)
+            pdf = ggx_d(a, h_local[..., 2]) / 4.0
+            h = to_world(t, b, n, h_local)
+            l = reflect(-n, h)
+            w = saturate(jnp.sum(n * l, -1))
+        else:
+            l = sampling.sample_cosine_hemisphere(n, u)
+            pdf = sampling.cosine_hemisphere_pdf(n, l)
+            w = jnp.ones(n.shape[0], jnp.float32)
+        omega_s = 1.0 / (num_samples * jnp.maximum(pdf, 1e-20))
+        mip = 0.5 * jnp.log2(omega_s / omega_p)
+        mip = jnp.clip(mip + mip_bias, 0.0, mip_count - 1)
+        total = total + w[..., None] * sample_cube(cube_mips, l, mip)
+        total_w = total_w + w
+        return total, total_w
+
+    total, total_w = jax.lax.fori_loop(
+        0, num_samples, body, (jnp.zeros_like(n), jnp.zeros(n.shape[0], jnp.float32))
+    )
+    out = total / jnp.maximum(total_w[..., None], 1e-20)
+    return out.reshape(6, size, size, 3)
+
+
+def build_ggx_cube(cube_mips) -> List[Any]:
+    """GenerateGgxCube (EnvironmentMap.cpp:393-396): per-mip GGX prefilter,
+    roughness-squared a = (mip/(mips-1))^2 (MipToRoughness:17-22)."""
+    size = cube_mips[0].shape[1]
+    n_mips = max(int(np.floor(np.log2(size))) + 1 - GGX_SMALLEST_MIP, 1)
+    out = []
+    for i in range(n_mips):
+        a = (i / max(n_mips - 1, 1)) ** 2
+        s = max(size >> i, 1)
+        if i == 0:
+            out.append(cube_mips[0])  # a=0 -> mirror: the source itself
+        else:
+            out.append(
+                _filter_cube_level(cube_mips, s, jnp.float32(a), GGX_SAMPLES, GGX_MIP_BIAS, True)
+            )
+    return out
+
+
+def build_diffuse_cube(cube_mips):
+    return _filter_cube_level(
+        cube_mips, DIFFUSE_RESOLUTION, jnp.float32(1.0), DIFFUSE_SAMPLES, DIFFUSE_MIP_BIAS, False
+    )
+
+
+@jax.jit
+def build_importance_map(cube_mips_0, cube_mips_rest):
+    """GenerateEnvironmentImportanceMap(.Level): luminance of the sphere-mapped
+    cube at 1024^2, then 2x2 SUM pyramid down to 1x1."""
+    cube_mips = [cube_mips_0] + list(cube_mips_rest)
+    s = IMPORTANCE_RESOLUTION
+    uv = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ux, vy = jnp.meshgrid(uv, uv, indexing="xy")
+    square = uv_to_unit_square(jnp.stack([ux, vy], -1))
+    d = square_to_sphere(square)
+    input_width = cube_mips[0].shape[1]
+    mip = jnp.clip(jnp.log2(6.0 * input_width / s), 0.0, len(cube_mips) - 1)
+    color = sample_cube(cube_mips, d, jnp.full((s, s), mip))
+    lum = luminance(color)
+    mips = [lum]
+    cur = lum
+    while cur.shape[0] > 1:
+        cur = cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
+        mips.append(cur)
+    return mips
+
+
+def build_environment(equirect: np.ndarray, cube_size: int = None) -> EnvMaps:
+    """Full environment build (EnvironmentMap::CreateEnvironmentMap port)."""
+    equirect = jnp.asarray(equirect, jnp.float32)
+    if cube_size is None:
+        w = equirect.shape[1]
+        cube_size = int(max(2 ** int(np.floor(np.log2(max(w // 8, 1)))), 64))
+        cube_size = min(cube_size, 1024)
+    cube0 = build_cubemap(equirect, cube_size)
+    cube_mips = build_cube_mips(cube0)
+    ggx = build_ggx_cube(cube_mips)
+    diffuse = build_diffuse_cube(cube_mips)
+    importance = build_importance_map(cube_mips[0], cube_mips[1:])
+    return EnvMaps(
+        cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance, equirect=equirect
+    )
+
+
+# ---------------------------------------------------------------------------
+# PT hooks (PathTracer.lib.hlsl:688-710)
+# ---------------------------------------------------------------------------
+
+def env_radiance(env: EnvMaps, direction):
+    """Miss-shader env lookup: cube level 0 (Miss:1040-1042)."""
+    return sample_cube_level(env.cube[0], direction)
+
+
+def env_sample(env: EnvMaps, u2):
+    """SampleEnvironmentMap (:688-703): hierarchical importance-map descent.
+
+    Returns (direction, radiance, pdf_solid_angle).
+    """
+    uv, pdf = sampling.sample_importance_map(env.importance, u2)
+    direction = square_to_sphere(uv_to_unit_square(uv))
+    pdf = pdf / (4.0 * PI)
+    color = sample_cube_level(env.cube[0], direction)
+    return direction, color, pdf
+
+
+def env_pdf(env: EnvMaps, direction):
+    """EnvironmentMapPdf (:705-710)."""
+    uv = unit_square_to_uv(sphere_to_square(direction))
+    return sampling.importance_map_pdf(env.importance, uv) / (4.0 * PI)
