@@ -1,0 +1,235 @@
+"""Top-level renderer orchestration (port of Renderer.{h,cpp}).
+
+Renderer::DrawFrame (Renderer.cpp:274-374) becomes: host-side animation +
+node transforms -> jitted skinning -> jitted world-geometry build -> BVH
+build/refit -> ONE jitted render step (path trace + accumulate, or raster) ->
+jitted post (bloom + AgX tonemap + dither) -> u8 image.
+
+No command lists, fences, or descriptor heaps: ordering is data dependence
+inside the jitted graphs; double buffering is XLA's async dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gltf_renderer_tpu.anim.animation import AnimationPlayer, LocalPose, rest_pose
+from gltf_renderer_tpu.anim.skinning import DynamicMeshState
+from gltf_renderer_tpu.camera import Camera
+from gltf_renderer_tpu.env.environment import EnvMaps, build_environment
+from gltf_renderer_tpu.env.hdr_io import read_environment_image
+from gltf_renderer_tpu.ops import bvh as bvh_ops
+from gltf_renderer_tpu.post.bloom import bloom as bloom_op
+from gltf_renderer_tpu.post.tonemap import to_u8, tonemap
+from gltf_renderer_tpu.render import pathtracer as pt
+from gltf_renderer_tpu.render import settings as S
+from gltf_renderer_tpu.scene import flatten
+from gltf_renderer_tpu.scene import types as T
+from gltf_renderer_tpu.scene.gltf import load_gltf
+
+log = logging.getLogger("gltf_renderer_tpu.renderer")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 5))
+def _pt_step(ptscene, meta, settings, params, c2w, resolution, seed, accum, frames):
+    radiance = pt.trace(ptscene, meta, settings, params, c2w, resolution, seed)
+    new_accum = pt.accumulate(accum, radiance, frames, settings)
+    return new_accum
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _post_step(hdr, tm_settings: S.ToneMapSettings, bloom_settings, frame):
+    img = hdr
+    if bloom_settings is not None and bloom_settings.enabled:
+        img = bloom_op(img, bloom_settings.max_mips, bloom_settings.strength)
+    disp = tonemap(img, tm_settings.tonemapper, tm_settings.exposure, frame)
+    return to_u8(disp)
+
+
+class Renderer:
+    """Interactive/offline renderer state machine."""
+
+    def __init__(self, settings: Optional[S.RenderSettings] = None):
+        self.settings = settings or S.RenderSettings()
+        self.params = S.PathTracerParams()
+        self.scene: Optional[T.Scene] = None
+        self.env: Optional[EnvMaps] = None
+        self.camera = Camera(aspect_ratio=self.settings.width / self.settings.height)
+        self.player = AnimationPlayer()
+        # Derived state.
+        self._plan = None
+        self._tri_flags = None
+        self._pools_dev = None
+        self._materials_dev = None
+        self._textures_dev = None
+        self._dynamic: Optional[DynamicMeshState] = None
+        self._ptscene: Optional[pt.PTScene] = None
+        self._meta: Optional[pt.PTMeta] = None
+        self._bvh_host = None
+        self._accum = None
+        self.accumulated_frames = 0
+        self._last_reset_key = None
+        self.frame_index = 0
+
+    # -- loading -----------------------------------------------------------
+
+    def load_scene(self, path_or_scene):
+        """LoadGltf (Main.cpp:43-54)."""
+        scene = path_or_scene if isinstance(path_or_scene, T.Scene) else load_gltf(path_or_scene)
+        self.scene = scene
+        self._plan = flatten.build_instance_plan(scene)
+        self._tri_flags = flatten.plan_tri_flags(self._plan, scene.primitives)
+        self._pools_dev = jax.tree.map(jnp.asarray, scene.pools)
+        self._materials_dev = jax.tree.map(jnp.asarray, scene.materials)
+        self._textures_dev = jax.tree.map(jnp.asarray, scene.textures)
+        self._dynamic = DynamicMeshState(scene)
+        self._ptscene = None
+        self._bvh_host = None
+        self._accum = None
+        self.accumulated_frames = 0
+        self.player = AnimationPlayer()
+        if scene.animations:
+            self.player.animation = scene.animations[0]
+        return scene
+
+    def select_animation(self, index: Optional[int]):
+        self.player.animation = None if index is None else self.scene.animations[index]
+        self.player.time = 0.0
+
+    def load_environment(self, path_or_array):
+        if isinstance(path_or_array, str):
+            equirect = read_environment_image(path_or_array)
+        else:
+            equirect = np.asarray(path_or_array, np.float32)
+        self.env = build_environment(equirect)
+        self._ptscene = None
+
+    # -- per-frame ---------------------------------------------------------
+
+    def _update_geometry(self, pose: Optional[LocalPose]):
+        scene = self.scene
+        if pose is None:
+            pose = rest_pose(scene)
+        node_tf = flatten.compute_global_transforms(scene, None, pose.t, pose.r, pose.s)
+        lights = flatten.gather_lights(scene, node_tf)
+
+        has_dynamic = bool(self._dynamic.dynamic_instances)
+        if has_dynamic:
+            self._dynamic.update(node_tf, pose.weights)
+            dyn = (self._dynamic.positions, self._dynamic.normals, self._dynamic.tangents)
+        else:
+            dyn = (None, None, None)
+
+        world = flatten.build_world_geometry(
+            self._pools_dev,
+            self._plan,
+            jnp.asarray(node_tf),
+            jnp.asarray(flatten.normal_transforms(node_tf)),
+            self._tri_flags,
+            *dyn,
+        )
+
+        lights_dev = jax.tree.map(jnp.asarray, lights)
+        if self._ptscene is None:
+            self._ptscene, self._meta = pt.make_pt_scene(
+                world, self._materials_dev, self._textures_dev, lights_dev, env=self.env
+            )
+            self._bvh_host = None if not has_dynamic else self._host_bvh_copy()
+        else:
+            # Geometry moved: update world pools; refit BVH (static topology).
+            tv = world.tri_vertex
+            p0 = world.position[tv[:, 0]]
+            p1 = world.position[tv[:, 1]]
+            p2 = world.position[tv[:, 2]]
+            tree = self._ptscene.bvh
+            if has_dynamic:
+                tree = bvh_ops.refit(self._refit_topo(), p0, p1, p2)
+                tree = self._ptscene.bvh._replace(
+                    aabb_min=tree.aabb_min, aabb_max=tree.aabb_max
+                )
+            order = self._ptscene.bvh.tri_order
+            self._ptscene = self._ptscene._replace(
+                world=world,
+                bvh=tree,
+                slot_v0=p0[order],
+                slot_e1=(p1 - p0)[order],
+                slot_e2=(p2 - p0)[order],
+                lights=lights_dev,
+            )
+        return node_tf
+
+    def _host_bvh_copy(self):
+        b = self._ptscene.bvh
+        return jax.tree.map(np.asarray, b)
+
+    def _refit_topo(self):
+        if self._bvh_host is None:
+            self._bvh_host = self._host_bvh_copy()
+        return self._bvh_host
+
+    def _reset_key(self):
+        return (
+            self.settings.pt,
+            tuple(np.asarray(self.camera.world_to_clip()).ravel().tolist()),
+            id(self.scene),
+            id(self.env),
+            self.player.time if self.player.animation else 0.0,
+        )
+
+    def draw_frame(self, delta: float = 0.0, seed: Optional[int] = None) -> np.ndarray:
+        """One frame -> (H, W, 3) u8. Progressive accumulation persists across
+        calls until camera/settings/animation change (Pathtracer.cpp:259-272)."""
+        assert self.scene is not None, "no scene loaded"
+        st = self.settings
+        pose = self.player.tick(self.scene, delta) if self.player.animation else None
+        self._update_geometry(pose)
+
+        key = self._reset_key()
+        if key != self._last_reset_key:
+            self._last_reset_key = key
+            self.accumulated_frames = 0
+
+        resolution = (st.width, st.height)
+        c2w = jnp.asarray(self.camera.clip_to_world())
+        if self._accum is None or self._accum.shape[:2] != (st.height, st.width):
+            self._accum = jnp.zeros((st.height, st.width, 3), jnp.float32)
+            self.accumulated_frames = 0
+
+        if st.backend == "pathtracer":
+            if self.accumulated_frames < st.pt.max_accumulated_frames:
+                frame_seed = seed if seed is not None else self.accumulated_frames
+                self._accum = _pt_step(
+                    self._ptscene,
+                    self._meta,
+                    st.pt,
+                    self.params,
+                    c2w,
+                    resolution,
+                    jnp.uint32(frame_seed),
+                    self._accum,
+                    jnp.int32(self.accumulated_frames),
+                )
+                self.accumulated_frames += 1
+            hdr = self._accum
+            bloom_settings = None  # bloom is raster-only (Rasterizer.cpp:281)
+        else:
+            from gltf_renderer_tpu.render import rasterizer
+
+            hdr = rasterizer.render(
+                self._ptscene, self._meta, st, self.params, c2w,
+                jnp.asarray(self.camera.position()), resolution,
+                jnp.uint32(self.frame_index),
+            )
+            self._accum = hdr
+            bloom_settings = st.bloom
+
+        img = _post_step(hdr, st.tonemap, bloom_settings, jnp.uint32(self.frame_index))
+        self.frame_index += 1
+        return np.asarray(img)
