@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Headline benchmark: Mrays/s/chip path tracing a DamagedHelmet-class scene
+at 1080p (BASELINE.json north star: >= 50 Mrays/s/chip).
+
+Scene: ~48k-triangle textured sphere (DamagedHelmet is ~46k tris) + HDR
+environment with importance-sampled NEE + MIS, max_bounces=2 (reference
+default, Main.cpp:470-471), luminance clamp on, progressive accumulation.
+Rays counted are actual traced segments (primary + bounce + shadow), summed
+on-device during the render.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from gltf_renderer_tpu.camera import Camera, look_at
+    from gltf_renderer_tpu.env.environment import build_environment
+    from gltf_renderer_tpu.render import pathtracer as pt
+    from gltf_renderer_tpu.render import settings as S
+    from gltf_renderer_tpu.scene import flatten
+    from gltf_renderer_tpu.scene.gltf import load_gltf
+    from gltf_renderer_tpu.scene.procedural import write_textured_sphere_glb
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    steps = int(os.environ.get("BENCH_STEPS", 4))
+
+    d = tempfile.mkdtemp(prefix="bench_scene_")
+    path = write_textured_sphere_glb(
+        os.path.join(d, "helmet_class.glb"), tex_size=512, n_lat=128, n_lon=192,
+        metallic=0.3, roughness=0.45,
+    )
+    scene = load_gltf(path)
+
+    tf = flatten.compute_global_transforms(scene)
+    plan = flatten.build_instance_plan(scene)
+    tri_flags = flatten.plan_tri_flags(plan, scene.primitives)
+    pools = jax.tree.map(jnp.asarray, scene.pools)
+    world = flatten.build_world_geometry(
+        pools, plan, jnp.asarray(tf), jnp.asarray(flatten.normal_transforms(tf)), tri_flags
+    )
+    lights = flatten.gather_lights(scene, tf)
+
+    # Analytic HDR sky (sun-ish hotspot + gradient), 512x256 equirect.
+    h, w = 256, 512
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    uu, vv = np.meshgrid(u, v)
+    z = 1.0 - 2.0 * vv
+    phi = 2 * np.pi * uu
+    s = np.sqrt(np.maximum(1 - z * z, 0))
+    d3 = np.stack([s * np.cos(phi), s * np.sin(phi), z], -1)
+    sun = np.asarray([0.5, 0.3, 0.8])
+    sun /= np.linalg.norm(sun)
+    hotspot = 50.0 * np.maximum((d3 * sun).sum(-1), 0.0) ** 200
+    sky = 0.4 + 0.6 * np.maximum(d3[..., 2], 0)
+    eq = np.stack(
+        [hotspot + 0.8 * sky, hotspot + 0.85 * sky, hotspot + sky], -1
+    ).astype(np.float32)
+    env = build_environment(eq, cube_size=128)
+
+    ptscene, meta = pt.make_pt_scene(
+        world, jax.tree.map(jnp.asarray, scene.materials),
+        jax.tree.map(jnp.asarray, scene.textures), jax.tree.map(jnp.asarray, lights),
+        env=env,
+    )
+    n_tris = int(np.asarray(world.tri_vertex).shape[0])
+
+    settings = S.PathTracerSettings(max_bounces=2, min_bounces=2)
+    params = S.PathTracerParams()
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=width / height, z_near=0.01)
+    cam.world_to_view = look_at([1.1, -1.1, 0.6], [0.0, 0.0, 0.0])
+    c2w = jnp.asarray(cam.clip_to_world())
+
+    trace_j = jax.jit(
+        lambda sc, c, s: pt.trace(
+            sc, meta, settings, params, c, (width, height), s, with_stats=True
+        )
+    )
+
+    # Warmup / compile.
+    img, rays = trace_j(ptscene, c2w, jnp.uint32(0))
+    jax.block_until_ready((img, rays))
+    setup_s = time.time() - t_setup
+
+    t0 = time.time()
+    total_rays = 0.0
+    acc = None
+    for i in range(steps):
+        img, rays = trace_j(ptscene, c2w, jnp.uint32(i + 1))
+        acc = img if acc is None else acc + img
+        total_rays += float(rays)
+    jax.block_until_ready(acc)
+    elapsed = time.time() - t0
+
+    mrays = total_rays / elapsed / 1e6
+    result = {
+        "metric": "pt_mrays_per_s_per_chip_1080p",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 50.0, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "resolution": [width, height],
+                    "triangles": n_tris,
+                    "steps": steps,
+                    "elapsed_s": round(elapsed, 3),
+                    "rays": total_rays,
+                    "setup_s": round(setup_s, 1),
+                    "device": str(jax.devices()[0]),
+                    "mean_radiance": float(np.asarray(acc).mean() / steps),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -185,21 +185,22 @@ def refit(bvh: FlatBVH, v0, v1, v2) -> FlatBVH:
     lo_arr = jnp.where(is_leaf[:, None], leaf_lo, jnp.inf)
     hi_arr = jnp.where(is_leaf[:, None], leaf_hi, -jnp.inf)
 
+    # Topology metadata must be host numpy (it drives loop structure) — this
+    # function is called with a host-side FlatBVH, under jit or eagerly.
     levels = np.asarray(bvh.levels)
     counts = np.asarray(bvh.count)
+    rights = np.asarray(bvh.right)
     max_level = int(levels.max()) if n else 0
-    idx_all = np.arange(n)
     for lev in range(max_level - 1, -1, -1):
-        sel = np.nonzero((levels == lev) & (counts == 0))[0]
+        sel = np.nonzero((levels == lev) & (counts == 0))[0].astype(np.int32)
         if len(sel) == 0:
             continue
-        sel_j = jnp.asarray(sel, jnp.int32)
-        left = sel_j + 1
-        right = bvh.right[sel_j]
+        left = sel + 1
+        right = rights[sel]
         child_lo = jnp.minimum(lo_arr[left], lo_arr[right])
         child_hi = jnp.maximum(hi_arr[left], hi_arr[right])
-        lo_arr = lo_arr.at[sel_j].set(child_lo)
-        hi_arr = hi_arr.at[sel_j].set(child_hi)
+        lo_arr = lo_arr.at[sel].set(child_lo)
+        hi_arr = hi_arr.at[sel].set(child_hi)
     return bvh._replace(aabb_min=lo_arr, aabb_max=hi_arr)
 
 
@@ -345,15 +346,15 @@ def intersect_closest(
         next_node = jnp.where(alive, next_node, node)
         return next_node, best_t, best_tri, best_u, best_v
 
-    node0 = jnp.zeros(n_rays, jnp.int32)
+    # Derive carries from ray inputs so they inherit shard_map varying axes.
+    fzero = origin[:, 0] * 0.0
+    node0 = fzero.astype(jnp.int32)
     state = (
         node0,
-        jnp.asarray(t_max, jnp.float32) * jnp.ones(n_rays, jnp.float32)
-        if jnp.ndim(t_max) == 0
-        else t_max,
-        jnp.full(n_rays, -1, jnp.int32),
-        jnp.zeros(n_rays, jnp.float32),
-        jnp.zeros(n_rays, jnp.float32),
+        jnp.broadcast_to(t_max, (n_rays,)) + fzero,
+        node0 - 1,
+        fzero,
+        fzero,
     )
     node, t, tri_slot, u, v = jax.lax.while_loop(cond, body, state)
     tri_id = jnp.where(tri_slot >= 0, bvh.tri_order[jnp.clip(tri_slot, 0, None)], -1)
@@ -424,7 +425,8 @@ def intersect_any(
         next_node = jnp.where(alive, next_node, node)
         return next_node, occluded
 
-    state = (jnp.zeros(n_rays, jnp.int32), jnp.zeros(n_rays, bool))
+    fzero = origin[:, 0] * 0.0
+    state = (fzero.astype(jnp.int32), fzero.astype(bool))
     _, occluded = jax.lax.while_loop(cond, body, state)
     return occluded
 

@@ -352,9 +352,10 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     Alpha mode: transmission = prod(1 - alpha) over surfaces until opaque.
     """
     n = origin.shape[0]
-    t_min = jnp.zeros(n, jnp.float32)
+    fzero = origin[:, 0] * 0.0  # varying-axes-correct zero under shard_map
+    t_min = fzero
     if active is None:
-        active = jnp.ones(n, bool)
+        active = fzero == 0.0
     if not alpha_shadow:
         eff_tmin = jnp.where(active, t_min, t_max + 1.0)
         occluded = bvh_ops.intersect_any(
@@ -383,7 +384,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
         return alive, trans, tmin_cur, it + 1
 
     alive0 = active
-    trans0 = jnp.ones(n, jnp.float32)
+    trans0 = fzero + 1.0
     _, trans, _, _ = jax.lax.while_loop(cond, body, (alive0, trans0, t_min, 0))
     return trans
 
@@ -619,9 +620,13 @@ def trace(
     resolution,          # (w, h) static
     seed,                # traced uint32
     pixel_offset=(0, 0),  # for sharded tiles: global pixel coords of (0, 0)
+    full_resolution=None,  # full image size when rendering a tile
+    with_stats: bool = False,  # also return traced-ray count (for Mrays/s)
 ):
     """One progressive sample per pixel. Returns (h, w, 3) radiance."""
     w, h = resolution
+    if full_resolution is None:
+        full_resolution = resolution
     py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     px = px.reshape(-1) + pixel_offset[0]
     py = py.reshape(-1) + pixel_offset[1]
@@ -637,7 +642,7 @@ def trace(
 
     jitter = rand4()[..., 0:2] - 0.5
     origin, direction_raw = generate_camera_rays(
-        px, py, (resolution[0], resolution[1]), clip_to_world, jitter
+        px, py, (full_resolution[0], full_resolution[1]), clip_to_world, jitter
     )
     # Primary ray: t in [0, |dir|], direction normalized (RayGeneration:756).
     ray_len = jnp.sqrt(jnp.maximum(jnp.sum(direction_raw**2, -1), 1e-20))
@@ -652,6 +657,8 @@ def trace(
     prev_mis = jnp.zeros(n_rays, bool)
 
     debug_value = None
+
+    ray_count = jnp.zeros((), jnp.float32)
 
     nee_env = settings.environment_map and settings.environment_mis
     nee_lights = settings.point_lights and meta.num_lights > 0
@@ -671,6 +678,7 @@ def trace(
                 scene, meta, origin, direction, eff_tmin, t_max,
                 cull_sign=primary_cull if bounce == 0 else bounce_cull,
             )
+        ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
 
         # Miss -> environment (Miss, PathTracer.lib.hlsl:1037-1051).
         miss = alive & (hit.tri < 0)
@@ -727,6 +735,7 @@ def trace(
                 jnp.full(n_rays, params.max_ray_length, jnp.float32),
                 alpha_shadow=False, active=alive,
             )
+            ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
             l_col = l_col * shadow[..., None]
             f, f_pdf = evaluate_bsdf(
                 sp, attrs.geometric_normal, view, l_dir, settings, scene.sheen_table
@@ -750,6 +759,7 @@ def trace(
                     jnp.full(n_rays, params.max_ray_length, jnp.float32),
                     alpha_shadow=settings.alpha_shadows, active=alive,
                 )
+                ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
                 l_col = l_col * shadow[..., None]
             f, _ = evaluate_bsdf(
                 sp, attrs.geometric_normal, view, light_ray.direction, settings,
@@ -826,6 +836,8 @@ def trace(
         )
         radiance = radiance * scale[..., None]
 
+    if with_stats:
+        return radiance.reshape(h, w, 3), ray_count
     return radiance.reshape(h, w, 3)
 
 

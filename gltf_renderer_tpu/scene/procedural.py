@@ -1,0 +1,347 @@
+"""Procedural glTF scenes (no network: sample assets are generated).
+
+Builds real .gltf/.glb files on disk so tests exercise the full loader path,
+mirroring the glTF-Sample-Assets configs in BASELINE.json (Box, textured,
+skinned, morphed).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+
+
+def _buf_uri(data: bytes) -> str:
+    return "data:application/octet-stream;base64," + base64.b64encode(data).decode()
+
+
+def _acc(doc, bin_parts, arr, target=None, acc_type=None, normalized=False):
+    """Append arr to the binary blob and register bufferView + accessor."""
+    arr = np.ascontiguousarray(arr)
+    comp_map = {
+        np.dtype(np.float32): 5126,
+        np.dtype(np.uint32): 5125,
+        np.dtype(np.uint16): 5123,
+        np.dtype(np.uint8): 5121,
+        np.dtype(np.int16): 5122,
+        np.dtype(np.int8): 5120,
+    }
+    offset = sum(len(p) for p in bin_parts)
+    pad = (-offset) % 4
+    if pad:
+        bin_parts.append(b"\x00" * pad)
+        offset += pad
+    data = arr.tobytes()
+    bin_parts.append(data)
+    doc.setdefault("bufferViews", []).append(
+        {"buffer": 0, "byteOffset": offset, "byteLength": len(data), **({"target": target} if target else {})}
+    )
+    if acc_type is None:
+        acc_type = {1: "SCALAR", 2: "VEC2", 3: "VEC3", 4: "VEC4", 16: "MAT4"}[
+            1 if arr.ndim == 1 else arr.shape[-1] if arr.ndim == 2 else 16
+        ]
+    count = len(arr)
+    acc = {
+        "bufferView": len(doc["bufferViews"]) - 1,
+        "componentType": comp_map[arr.dtype],
+        "count": count,
+        "type": acc_type,
+    }
+    if normalized:
+        acc["normalized"] = True
+    if acc_type == "VEC3" and arr.dtype == np.float32:
+        acc["min"] = arr.reshape(count, -1).min(0).tolist()
+        acc["max"] = arr.reshape(count, -1).max(0).tolist()
+    doc.setdefault("accessors", []).append(acc)
+    return len(doc["accessors"]) - 1
+
+
+def box_mesh():
+    """Unit cube centered at origin with per-face normals/uv."""
+    p, n, uv, idx = [], [], [], []
+    faces = [
+        (np.array([0, 0, 1]), np.array([1, 0, 0]), np.array([0, 1, 0])),
+        (np.array([0, 0, -1]), np.array([-1, 0, 0]), np.array([0, 1, 0])),
+        (np.array([1, 0, 0]), np.array([0, 0, -1]), np.array([0, 1, 0])),
+        (np.array([-1, 0, 0]), np.array([0, 0, 1]), np.array([0, 1, 0])),
+        (np.array([0, 1, 0]), np.array([1, 0, 0]), np.array([0, 0, -1])),
+        (np.array([0, -1, 0]), np.array([1, 0, 0]), np.array([0, 0, 1])),
+    ]
+    for fn, fu, fv in faces:
+        base = len(p)
+        for su, sv in [(-1, -1), (1, -1), (1, 1), (-1, 1)]:
+            p.append(0.5 * (fn + su * fu + sv * fv))
+            n.append(fn)
+            uv.append([(su + 1) / 2, (sv + 1) / 2])
+        idx += [base, base + 1, base + 2, base, base + 2, base + 3]
+    return (
+        np.asarray(p, np.float32),
+        np.asarray(n, np.float32),
+        np.asarray(uv, np.float32),
+        np.asarray(idx, np.uint16),
+    )
+
+
+def uv_sphere(n_lat=32, n_lon=64, radius=0.5):
+    lat = np.linspace(0, np.pi, n_lat)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    verts, norms, uvs = [], [], []
+    for i, th in enumerate(lat):
+        for j, ph in enumerate(lon):
+            d = np.array([np.sin(th) * np.cos(ph), np.cos(th), np.sin(th) * np.sin(ph)])
+            verts.append(radius * d)
+            norms.append(d)
+            uvs.append([j / n_lon, i / (n_lat - 1)])
+    idx = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            idx += [a, c, b, b, c, d]
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(norms, np.float32),
+        np.asarray(uvs, np.float32),
+        np.asarray(idx, np.uint32),
+    )
+
+
+def write_box_gltf(path, base_color=(0.8, 0.2, 0.2, 1.0), metallic=0.0, roughness=0.6,
+                   with_light=True, double_box=False):
+    """Box + KHR punctual point light + perspective camera (BASELINE config 1)."""
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    p, n, uv, idx = box_mesh()
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    iuv = _acc(doc, bin_parts, uv, target=34962)
+    ii = _acc(doc, bin_parts, idx, target=34963)
+    doc["meshes"] = [
+        {
+            "primitives": [
+                {
+                    "attributes": {"POSITION": ip, "NORMAL": inn, "TEXCOORD_0": iuv},
+                    "indices": ii,
+                    "material": 0,
+                }
+            ]
+        }
+    ]
+    doc["materials"] = [
+        {
+            "pbrMetallicRoughness": {
+                "baseColorFactor": list(base_color),
+                "metallicFactor": metallic,
+                "roughnessFactor": roughness,
+            }
+        }
+    ]
+    nodes = [{"mesh": 0, "name": "box"}]
+    scene_nodes = [0]
+    if double_box:
+        nodes.append({"mesh": 0, "translation": [1.5, 0.0, 0.0], "name": "box2"})
+        scene_nodes.append(1)
+    if with_light:
+        doc["extensionsUsed"] = ["KHR_lights_punctual"]
+        doc["extensions"] = {
+            "KHR_lights_punctual": {
+                "lights": [{"type": "point", "intensity": 40.0, "color": [1, 1, 1]}]
+            }
+        }
+        nodes.append(
+            {
+                "translation": [2.0, 2.0, 2.0],
+                "extensions": {"KHR_lights_punctual": {"light": 0}},
+                "name": "light",
+            }
+        )
+        scene_nodes.append(len(nodes) - 1)
+    doc["nodes"] = nodes
+    doc["scenes"] = [{"nodes": scene_nodes}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_textured_sphere_glb(path, tex_size=64, n_lat=16, n_lon=32,
+                              metallic=0.0, roughness=0.8):
+    """GLB container + embedded PNG texture + MR material (loader GLB path)."""
+    import io
+    import struct
+    from PIL import Image
+
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    p, n, uv, idx = uv_sphere(n_lat, n_lon)
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    iuv = _acc(doc, bin_parts, uv, target=34962)
+    ii = _acc(doc, bin_parts, idx, target=34963)
+
+    # Checkerboard PNG.
+    yy, xx = np.meshgrid(np.arange(tex_size), np.arange(tex_size), indexing="ij")
+    checker = (((xx // 8) + (yy // 8)) % 2).astype(np.uint8)
+    img = np.stack([checker * 255, 64 + checker * 128, 255 - checker * 200, np.full_like(checker, 255)], -1)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, format="PNG")
+    png = buf.getvalue()
+    offset = sum(len(b) for b in bin_parts)
+    pad = (-offset) % 4
+    if pad:
+        bin_parts.append(b"\x00" * pad)
+        offset += pad
+    bin_parts.append(png)
+    doc["bufferViews"].append({"buffer": 0, "byteOffset": offset, "byteLength": len(png)})
+    doc["images"] = [{"bufferView": len(doc["bufferViews"]) - 1, "mimeType": "image/png"}]
+    doc["samplers"] = [{"wrapS": 10497, "wrapT": 33071}]
+    doc["textures"] = [{"source": 0, "sampler": 0}]
+    doc["materials"] = [
+        {
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0},
+                "metallicFactor": metallic,
+                "roughnessFactor": roughness,
+            }
+        }
+    ]
+    doc["meshes"] = [
+        {
+            "primitives": [
+                {
+                    "attributes": {"POSITION": ip, "NORMAL": inn, "TEXCOORD_0": iuv},
+                    "indices": ii,
+                    "material": 0,
+                }
+            ]
+        }
+    ]
+    doc["nodes"] = [{"mesh": 0}]
+    doc["scenes"] = [{"nodes": [0]}]
+    blob = b"".join(bin_parts)
+    pad = (-len(blob)) % 4
+    blob += b"\x00" * pad
+    doc["buffers"] = [{"byteLength": len(blob)}]
+
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    glb = struct.pack("<III", 0x46546C67, 2, total)
+    glb += struct.pack("<II", len(js), 0x4E4F534A) + js
+    glb += struct.pack("<II", len(blob), 0x004E4942) + blob
+    with open(path, "wb") as f:
+        f.write(glb)
+    return path
+
+
+def write_skinned_gltf(path):
+    """Two-bone skinned quad strip + rotation animation (BrainStem-style)."""
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    # Vertical strip of quads along +Y in glTF space, skinned to 2 joints.
+    seg = 4
+    pos, nrm, joints, weights, idx = [], [], [], [], []
+    for i in range(seg + 1):
+        y = i / seg * 2.0
+        w1 = max(0.0, (y - 1.0)) if y > 1.0 else 0.0
+        w1 = min(y / 2.0, 1.0)
+        for x in (-0.1, 0.1):
+            pos.append([x, y, 0.0])
+            nrm.append([0.0, 0.0, 1.0])
+            joints.append([0, 1, 0, 0])
+            weights.append([1.0 - w1, w1, 0.0, 0.0])
+    for i in range(seg):
+        a = i * 2
+        idx += [a, a + 1, a + 2, a + 1, a + 3, a + 2]
+    ip = _acc(doc, bin_parts, np.asarray(pos, np.float32), target=34962)
+    inn = _acc(doc, bin_parts, np.asarray(nrm, np.float32), target=34962)
+    ij = _acc(doc, bin_parts, np.asarray(joints, np.uint16), target=34962)
+    iw = _acc(doc, bin_parts, np.asarray(weights, np.float32), target=34962)
+    ii = _acc(doc, bin_parts, np.asarray(idx, np.uint16), target=34963)
+
+    ibm = np.stack([np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32)])
+    ibm[1][3][1] = -1.0  # column-major: translation row is the 4th column
+    i_ibm = _acc(doc, bin_parts, ibm.reshape(2, 16), acc_type="MAT4")
+
+    times = np.asarray([0.0, 1.0, 2.0], np.float32)
+    angle = np.pi / 4
+    rots = np.asarray(
+        [
+            [0, 0, 0, 1],
+            [0, 0, np.sin(angle / 2), np.cos(angle / 2)],
+            [0, 0, 0, 1],
+        ],
+        np.float32,
+    )
+    it = _acc(doc, bin_parts, times)
+    ir = _acc(doc, bin_parts, rots)
+
+    doc["meshes"] = [
+        {"primitives": [{"attributes": {"POSITION": ip, "NORMAL": inn, "JOINTS_0": ij, "WEIGHTS_0": iw}, "indices": ii}]}
+    ]
+    doc["skins"] = [{"joints": [1, 2], "inverseBindMatrices": i_ibm}]
+    doc["nodes"] = [
+        {"mesh": 0, "skin": 0},
+        {"children": [2], "name": "root_joint"},
+        {"translation": [0, 1, 0], "name": "tip_joint"},
+    ]
+    doc["animations"] = [
+        {
+            "samplers": [{"input": it, "output": ir, "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0, "target": {"node": 2, "path": "rotation"}}],
+        }
+    ]
+    doc["scenes"] = [{"nodes": [0, 1]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_morph_gltf(path):
+    """AnimatedMorphCube-style: box with one morph target + weight animation."""
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    p, n, uv, idx = box_mesh()
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    ii = _acc(doc, bin_parts, idx, target=34963)
+    delta = np.zeros_like(p)
+    delta[:, 1] = 0.5 * p[:, 0] ** 2  # bulge
+    imp = _acc(doc, bin_parts, delta, target=34962)
+    times = np.asarray([0.0, 1.0, 2.0], np.float32)
+    w = np.asarray([0.0, 1.0, 0.0], np.float32)
+    it = _acc(doc, bin_parts, times)
+    iw = _acc(doc, bin_parts, w)
+    doc["meshes"] = [
+        {
+            "primitives": [
+                {
+                    "attributes": {"POSITION": ip, "NORMAL": inn},
+                    "indices": ii,
+                    "targets": [{"POSITION": imp}],
+                }
+            ],
+            "weights": [0.0],
+        }
+    ]
+    doc["nodes"] = [{"mesh": 0}]
+    doc["animations"] = [
+        {
+            "samplers": [{"input": it, "output": iw, "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0, "target": {"node": 0, "path": "weights"}}],
+        }
+    ]
+    doc["scenes"] = [{"nodes": [0]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
