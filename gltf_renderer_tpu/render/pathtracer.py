@@ -79,6 +79,7 @@ class PTMeta(NamedTuple):
     num_lights: int
     has_masked: bool
     has_env: bool
+    has_blend: bool = False  # any alpha-BLEND or transmissive material in use
 
 
 def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -> (
@@ -95,10 +96,13 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
     se2 = p2[order] - p0[order]
     ds = np.asarray(world.tri_double_sided)[order].astype(bool)
     am = np.asarray(world.tri_alpha_mode)
+    tm = np.asarray(world.tri_material)
+    transmissive = np.asarray(materials.transmission_factor)[tm] > 0.0
     meta = PTMeta(
         num_lights=int(len(np.asarray(lights.type))),
         has_masked=bool((am == T.ALPHA_MODE_MASK).any()),
         has_env=env is not None,
+        has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
     )
     scene = PTScene(
         world=world,
