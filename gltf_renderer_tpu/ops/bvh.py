@@ -142,9 +142,99 @@ def _build_recursive(lo, hi, centroid, order):
     )
 
 
-def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> FlatBVH:
-    """Build a threaded BVH (host). v0/v1/v2: (T, 3) triangle vertices."""
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """Load (building if needed) the C++ SAH builder (native/bvh_builder.cpp)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    native_dir = os.path.abspath(native_dir)
+    lib_path = os.path.join(native_dir, "libgltf_native.so")
+    if not os.path.exists(lib_path) and os.path.exists(os.path.join(native_dir, "Makefile")):
+        try:
+            subprocess.run(
+                ["make", "-C", native_dir], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.bvh_build.restype = ctypes.c_int
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = None
+    return _NATIVE
+
+
+def _build_native(lib, v0, v1, v2) -> FlatBVH:
+    import ctypes
+
     t = len(v0)
+    cap = 2 * t
+    aabb_min = np.empty((cap, 3), np.float32)
+    aabb_max = np.empty((cap, 3), np.float32)
+    first = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    skip = np.empty(cap, np.int32)
+    right = np.empty(cap, np.int32)
+    levels = np.empty(cap, np.int32)
+    tri_order = np.empty(t, np.int32)
+
+    def ptr(a, ty):
+        return a.ctypes.data_as(ctypes.POINTER(ty))
+
+    f = ctypes.c_float
+    i = ctypes.c_int32
+    n = lib.bvh_build(
+        ptr(np.ascontiguousarray(v0, np.float32), f),
+        ptr(np.ascontiguousarray(v1, np.float32), f),
+        ptr(np.ascontiguousarray(v2, np.float32), f),
+        ctypes.c_int(t),
+        ctypes.c_int(LEAF_SIZE),
+        ptr(aabb_min, f),
+        ptr(aabb_max, f),
+        ptr(first, i),
+        ptr(count, i),
+        ptr(skip, i),
+        ptr(right, i),
+        ptr(levels, i),
+        ptr(tri_order, i),
+    )
+    return FlatBVH(
+        aabb_min[:n].copy(),
+        aabb_max[:n].copy(),
+        first[:n].copy(),
+        count[:n].copy(),
+        skip[:n].copy(),
+        right[:n].copy(),
+        tri_order,
+        levels[:n].copy(),
+    )
+
+
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, use_native: bool = True) -> FlatBVH:
+    """Build a threaded BVH (host). v0/v1/v2: (T, 3) triangle vertices.
+
+    Uses the native C++ binned-SAH builder when available (the framework's
+    host-side 'acceleration structure build', ~100x the Python fallback);
+    falls back to the pure-numpy builder otherwise.
+    """
+    t = len(v0)
+    if use_native and t > 0:
+        lib = _load_native()
+        if lib is not None:
+            return _build_native(lib, v0, v1, v2)
     if t == 0:
         return FlatBVH(
             np.zeros((1, 3), np.float32),
