@@ -242,21 +242,47 @@ def build_importance_map(cube_mips_0, cube_mips_rest):
     return mips
 
 
-def build_environment(equirect: np.ndarray, cube_size: int = None) -> EnvMaps:
-    """Full environment build (EnvironmentMap::CreateEnvironmentMap port)."""
-    equirect = jnp.asarray(equirect, jnp.float32)
-    if cube_size is None:
-        w = equirect.shape[1]
-        cube_size = int(max(2 ** int(np.floor(np.log2(max(w // 8, 1)))), 64))
-        cube_size = min(cube_size, 1024)
-    cube0 = build_cubemap(equirect, cube_size)
-    cube_mips = build_cube_mips(cube0)
-    ggx = build_ggx_cube(cube_mips)
-    diffuse = build_diffuse_cube(cube_mips)
-    importance = build_importance_map(cube_mips[0], cube_mips[1:])
-    return EnvMaps(
-        cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance, equirect=equirect
-    )
+def build_environment(
+    equirect: np.ndarray, cube_size: int = None, on_cpu: bool = True
+) -> EnvMaps:
+    """Full environment build (EnvironmentMap::CreateEnvironmentMap port).
+
+    This is a LOAD-TIME precompute (the reference builds once on the first
+    frame after a drop, Renderer.cpp:304-311). By default it runs on the CPU
+    backend — the prefilter kernels are deep gather graphs that compile slowly
+    on TPU toolchains — and the resulting maps are device_put to the default
+    (TPU) device for rendering.
+    """
+    import jax
+
+    def _build():
+        eq = jnp.asarray(equirect, jnp.float32)
+        if cube_size is None:
+            w = eq.shape[1]
+            cs = int(max(2 ** int(np.floor(np.log2(max(w // 8, 1)))), 64))
+            cs = min(cs, 1024)
+        else:
+            cs = cube_size
+        cube0 = build_cubemap(eq, cs)
+        cube_mips = build_cube_mips(cube0)
+        ggx = build_ggx_cube(cube_mips)
+        diffuse = build_diffuse_cube(cube_mips)
+        importance = build_importance_map(cube_mips[0], cube_mips[1:])
+        return EnvMaps(
+            cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance, equirect=eq
+        )
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        default = jax.devices()[0]
+        run_cpu = on_cpu and cpu != default
+    except RuntimeError:
+        run_cpu = False
+    if not run_cpu:
+        return _build()
+    with jax.default_device(cpu):
+        env = jax.tree.map(lambda x: np.asarray(x), _build())
+    return jax.device_put(env)
 
 
 # ---------------------------------------------------------------------------

@@ -521,6 +521,246 @@ def intersect_any(
     return occluded
 
 
+# ---------------------------------------------------------------------------
+# Packed layout: one row-gather per traversal step
+# ---------------------------------------------------------------------------
+#
+# TPU XLA gathers cost ~fixed per gather *op* regardless of row width (row
+# gathers use the sparsecore/vector path); the fast layout packs everything a
+# step needs into single rows:
+#   nodes   (N, 8)  f32: [lo.xyz, hi.xyz, bitcast(first | count<<28),
+#                          bitcast(skip)]
+#   records (N, 48) f32: per-node leaf payload — 4x [v0.xyz, e1.xyz, e2.xyz]
+#                         (36) + 4 bitcast id/flag words + 8 pad.
+# Id/flag word: tri_id | MASKED<<28 | BLEND<<29 | DOUBLE_SIDED<<30.
+
+FLAG_MASKED = 1 << 28
+FLAG_BLEND = 1 << 29
+FLAG_DOUBLE_SIDED = 1 << 30
+ID_MASK = (1 << 28) - 1
+
+BLEND_ANY = 0       # no blend filtering
+BLEND_EXCLUDE = 1   # opaque pass: skip BLEND-flagged triangles
+BLEND_ONLY = 2      # blend pass: only BLEND-flagged triangles
+
+
+class PackedBVH(NamedTuple):
+    nodes: Any     # (N, 8) f32
+    records: Any   # (N, 48) f32
+    n_nodes: int
+
+
+def pack(bvh: FlatBVH, slot_v0, slot_e1, slot_e2, slot_flags) -> PackedBVH:
+    """Build the packed tables (host, numpy). slot_* are in BVH slot order;
+    slot_flags (T,) int32 carries FLAG_* bits ORed with the original tri id."""
+    n = int(np.asarray(bvh.count).shape[0])
+    first = np.asarray(bvh.first)
+    count = np.asarray(bvh.count)
+    skip = np.asarray(bvh.skip)
+
+    nodes = np.zeros((n, 8), np.float32)
+    nodes[:, 0:3] = np.asarray(bvh.aabb_min)
+    nodes[:, 3:6] = np.asarray(bvh.aabb_max)
+    meta = (first.astype(np.uint32) | (count.astype(np.uint32) << 28)).view(np.float32)
+    nodes[:, 6] = meta
+    nodes[:, 7] = skip.astype(np.int32).view(np.float32)
+
+    t = len(slot_v0)
+    records = np.zeros((n, 48), np.float32)
+    if t:
+        sv0 = np.asarray(slot_v0, np.float32)
+        se1 = np.asarray(slot_e1, np.float32)
+        se2 = np.asarray(slot_e2, np.float32)
+        sfl = np.asarray(slot_flags, np.int32)
+        ks = np.arange(LEAF_SIZE)
+        slot = np.clip(first[:, None] + ks[None, :], 0, t - 1)  # (N, 4)
+        for k in range(LEAF_SIZE):
+            records[:, 9 * k : 9 * k + 3] = sv0[slot[:, k]]
+            records[:, 9 * k + 3 : 9 * k + 6] = se1[slot[:, k]]
+            records[:, 9 * k + 6 : 9 * k + 9] = se2[slot[:, k]]
+        valid = (ks[None, :] < count[:, None]) & (count[:, None] > 0)
+        words = np.where(valid, sfl[slot], np.int32(-1)).astype(np.int32)
+        records[:, 36 : 36 + LEAF_SIZE] = words.view(np.float32)
+    return PackedBVH(nodes=jnp.asarray(nodes), records=jnp.asarray(records), n_nodes=n)
+
+
+def _mt_packed(origin, direction, rec, t_min, t_max):
+    """Möller–Trumbore on 4 packed triangles. rec (R, 48). Returns
+    (hit, t, u, v, det) each (R, 4)."""
+    hs, ts, us, vs, dets = [], [], [], [], []
+    for k in range(LEAF_SIZE):
+        p0 = rec[:, 9 * k : 9 * k + 3]
+        e1 = rec[:, 9 * k + 3 : 9 * k + 6]
+        e2 = rec[:, 9 * k + 6 : 9 * k + 9]
+        pvec = jnp.cross(direction, e2)
+        det = jnp.sum(e1 * pvec, -1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = origin - p0
+        u = jnp.sum(tvec * pvec, -1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(direction * qvec, -1) * inv_det
+        t = jnp.sum(e2 * qvec, -1) * inv_det
+        h = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > t_min)
+            & (t < t_max)
+        )
+        hs.append(h)
+        ts.append(t)
+        us.append(u)
+        vs.append(v)
+        dets.append(det)
+    return (
+        jnp.stack(hs, -1),
+        jnp.stack(ts, -1),
+        jnp.stack(us, -1),
+        jnp.stack(vs, -1),
+        jnp.stack(dets, -1),
+    )
+
+
+def _slot_words(rec):
+    return jax.lax.bitcast_convert_type(rec[:, 36 : 36 + LEAF_SIZE], jnp.int32)
+
+
+def _apply_filters(h, det, words, blend_mode: int, cull_sign: int):
+    valid = words >= 0
+    h = h & valid
+    if blend_mode == BLEND_EXCLUDE:
+        h = h & ((words & FLAG_BLEND) == 0)
+    elif blend_mode == BLEND_ONLY:
+        h = h & ((words & FLAG_BLEND) != 0)
+    if cull_sign:
+        culled = (det * cull_sign < 0.0) & ((words & FLAG_DOUBLE_SIDED) == 0)
+        h = h & (~culled)
+    return h
+
+
+def intersect_closest_p(
+    packed: PackedBVH,
+    origin,
+    direction,
+    t_min,
+    t_max,
+    blend_mode: int = BLEND_ANY,
+    cull_sign: int = 0,
+) -> Hit:
+    """Closest hit with the packed one-gather-per-step layout.
+
+    Returns Hit with ORIGINAL triangle ids (decoded from id words) and a
+    `flags` word accessible via (tri >> 28) — callers use ID_MASK.
+    """
+    n_nodes = packed.n_nodes
+    n_rays = origin.shape[0]
+    inv_dir = jnp.where(
+        jnp.abs(direction) > 1e-20, 1.0 / direction, jnp.sign(direction) * 1e20 + 1e20
+    )
+
+    def cond(state):
+        return jnp.any(state[0] < n_nodes)
+
+    def body(state):
+        node, best_t, best_word, best_u, best_v = state
+        node_c = jnp.clip(node, 0, n_nodes - 1)
+        alive = node < n_nodes
+        nrec = packed.nodes[node_c]
+        lo = nrec[:, 0:3]
+        hi = nrec[:, 3:6]
+        meta = jax.lax.bitcast_convert_type(nrec[:, 6], jnp.int32)
+        skip = jax.lax.bitcast_convert_type(nrec[:, 7], jnp.int32)
+        count = jax.lax.shift_right_logical(meta, 28)
+        is_leaf = count > 0
+
+        box_hit = _aabb_hit(origin, inv_dir, lo, hi, t_min, best_t) & alive
+
+        do_tris = box_hit & is_leaf
+        rec = packed.records[jnp.where(do_tris, node_c, 0)]
+        h, t, u, v, det = _mt_packed(origin, direction, rec, t_min, best_t)
+        words = _slot_words(rec)
+        h = _apply_filters(h, det, words, blend_mode, cull_sign) & do_tris[:, None]
+
+        t_masked = jnp.where(h, t, jnp.inf)
+        k = jnp.argmin(t_masked, -1)
+        rows = jnp.arange(n_rays)
+        leaf_t = t_masked[rows, k]
+        leaf_hit = leaf_t < best_t
+        best_word = jnp.where(leaf_hit, words[rows, k], best_word)
+        best_u = jnp.where(leaf_hit, u[rows, k], best_u)
+        best_v = jnp.where(leaf_hit, v[rows, k], best_v)
+        best_t = jnp.where(leaf_hit, leaf_t, best_t)
+
+        descend = box_hit & (~is_leaf)
+        next_node = jnp.where(descend, node_c + 1, skip)
+        next_node = jnp.where(alive, next_node, node)
+        return next_node, best_t, best_word, best_u, best_v
+
+    fzero = origin[:, 0] * 0.0
+    state = (
+        fzero.astype(jnp.int32),
+        jnp.broadcast_to(t_max, (n_rays,)) + fzero,
+        fzero.astype(jnp.int32) - 1,
+        fzero,
+        fzero,
+    )
+    node, t, word, u, v = jax.lax.while_loop(cond, body, state)
+    tri = jnp.where(word >= 0, word & ID_MASK, -1)
+    return Hit(t=t, tri=tri, u=u, v=v)
+
+
+def intersect_any_p(
+    packed: PackedBVH,
+    origin,
+    direction,
+    t_min,
+    t_max,
+    blend_mode: int = BLEND_ANY,
+    cull_sign: int = 0,
+):
+    """Binary occlusion with the packed layout (early-out per ray)."""
+    n_nodes = packed.n_nodes
+    inv_dir = jnp.where(
+        jnp.abs(direction) > 1e-20, 1.0 / direction, jnp.sign(direction) * 1e20 + 1e20
+    )
+    t_max_b = jnp.broadcast_to(t_max, t_min.shape)
+
+    def cond(state):
+        return jnp.any(state[0] < n_nodes)
+
+    def body(state):
+        node, occluded = state
+        node_c = jnp.clip(node, 0, n_nodes - 1)
+        alive = node < n_nodes
+        nrec = packed.nodes[node_c]
+        lo = nrec[:, 0:3]
+        hi = nrec[:, 3:6]
+        meta = jax.lax.bitcast_convert_type(nrec[:, 6], jnp.int32)
+        skip = jax.lax.bitcast_convert_type(nrec[:, 7], jnp.int32)
+        count = jax.lax.shift_right_logical(meta, 28)
+        is_leaf = count > 0
+
+        box_hit = _aabb_hit(origin, inv_dir, lo, hi, t_min, t_max_b) & alive
+        do_tris = box_hit & is_leaf
+        rec = packed.records[jnp.where(do_tris, node_c, 0)]
+        h, t, u, v, det = _mt_packed(origin, direction, rec, t_min, t_max_b)
+        words = _slot_words(rec)
+        h = _apply_filters(h, det, words, blend_mode, cull_sign) & do_tris[:, None]
+        occluded = occluded | jnp.any(h, -1)
+
+        descend = box_hit & (~is_leaf)
+        next_node = jnp.where(descend, node_c + 1, skip)
+        next_node = jnp.where(occluded, n_nodes, next_node)
+        next_node = jnp.where(alive, next_node, node)
+        return next_node, occluded
+
+    fzero = origin[:, 0] * 0.0
+    state = (fzero.astype(jnp.int32), fzero.astype(bool))
+    _, occluded = jax.lax.while_loop(cond, body, state)
+    return occluded
+
+
 def gather_slot_triangles(bvh: FlatBVH, wpos, tri_vertex):
     """Pre-gather (v0, e1, e2) in BVH slot order from world positions."""
     tv = tri_vertex[bvh.tri_order]

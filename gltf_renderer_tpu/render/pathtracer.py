@@ -615,6 +615,9 @@ def _balance_heuristic(pdf, other_pdf):
 # The tracer
 # ---------------------------------------------------------------------------
 
+RAY_CHUNK = 65536  # rays per lax.map chunk (bounds live memory / gather sizes)
+
+
 def trace(
     scene: PTScene,
     meta: PTMeta,
@@ -627,13 +630,59 @@ def trace(
     full_resolution=None,  # full image size when rendering a tile
     with_stats: bool = False,  # also return traced-ray count (for Mrays/s)
 ):
-    """One progressive sample per pixel. Returns (h, w, 3) radiance."""
+    """One progressive sample per pixel. Returns (h, w, 3) radiance.
+
+    Rays are processed in RAY_CHUNK-sized chunks via lax.map: one compiled
+    chunk body, sequential execution — bounds peak gather/working-set size
+    (large single dispatches destabilize the TPU runtime) without growing
+    the program.
+    """
     w, h = resolution
     if full_resolution is None:
         full_resolution = resolution
     py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     px = px.reshape(-1) + pixel_offset[0]
     py = py.reshape(-1) + pixel_offset[1]
+    n = px.shape[0]
+
+    if n <= RAY_CHUNK:
+        color, rays = _trace_rays(
+            scene, meta, settings, params, clip_to_world, full_resolution, seed, px, py
+        )
+        if with_stats:
+            return color.reshape(h, w, 3), rays
+        return color.reshape(h, w, 3)
+
+    n_chunks = -(-n // RAY_CHUNK)
+    pad = n_chunks * RAY_CHUNK - n
+    px_p = jnp.concatenate([px, jnp.zeros(pad, px.dtype)]).reshape(n_chunks, RAY_CHUNK)
+    py_p = jnp.concatenate([py, jnp.zeros(pad, py.dtype)]).reshape(n_chunks, RAY_CHUNK)
+
+    def chunk_fn(args):
+        cpx, cpy = args
+        return _trace_rays(
+            scene, meta, settings, params, clip_to_world, full_resolution, seed, cpx, cpy
+        )
+
+    colors, rays = jax.lax.map(chunk_fn, (px_p, py_p))
+    color = colors.reshape(-1, 3)[:n]
+    if with_stats:
+        return color.reshape(h, w, 3), jnp.sum(rays)
+    return color.reshape(h, w, 3)
+
+
+def _trace_rays(
+    scene: PTScene,
+    meta: PTMeta,
+    settings: S.PathTracerSettings,
+    params: S.PathTracerParams,
+    clip_to_world,
+    full_resolution,
+    seed,
+    px,
+    py,
+):
+    """Trace a flat batch of pixel rays -> ((R, 3) color, ray count)."""
     n_rays = px.shape[0]
 
     counter = 0
@@ -722,7 +771,7 @@ def trace(
                 settings.debug_output, hit, attrs, sp, extras, view, alive
             )
             if debug_value is not None:
-                return debug_value.reshape(h, w, 3)
+                return debug_value, ray_count
 
         ray_origin = offset_ray(attrs.position, attrs.geometric_normal)
         ray_origin_below = offset_ray(attrs.position, -attrs.geometric_normal)
@@ -798,7 +847,7 @@ def trace(
                         jnp.asarray([1.0, 0.0, 0.0]),
                     ),
                 }[settings.debug_output]
-                return jnp.where(alive[..., None], dv, 0.0).reshape(h, w, 3)
+                return jnp.where(alive[..., None], dv, 0.0), ray_count
 
             u_rr = rand4()[..., 0]
             continue_prob = jnp.clip(
@@ -840,9 +889,7 @@ def trace(
         )
         radiance = radiance * scale[..., None]
 
-    if with_stats:
-        return radiance.reshape(h, w, 3), ray_count
-    return radiance.reshape(h, w, 3)
+    return radiance, ray_count
 
 
 def _debug_channel(which, hit, attrs, sp, extras, view, alive):
