@@ -584,6 +584,30 @@ def pack(bvh: FlatBVH, slot_v0, slot_e1, slot_e2, slot_flags) -> PackedBVH:
     return PackedBVH(nodes=jnp.asarray(nodes), records=jnp.asarray(records), n_nodes=n)
 
 
+def pack_update(packed: PackedBVH, bvh_host: FlatBVH, slot_v0, slot_e1, slot_e2,
+                refitted: FlatBVH = None) -> PackedBVH:
+    """Jit-able packed-table refresh for deformed geometry (skinned frames).
+
+    Topology (first/count/skip, id words) is static; only the 36 geometry
+    floats per record and the node AABBs change.
+    """
+    first = np.asarray(bvh_host.first)
+    count = np.asarray(bvh_host.count)
+    t = slot_v0.shape[0]
+    slot = np.clip(first[:, None] + np.arange(LEAF_SIZE)[None, :], 0, max(t - 1, 0))
+    cols = []
+    for k in range(LEAF_SIZE):
+        cols.extend([slot_v0[slot[:, k]], slot_e1[slot[:, k]], slot_e2[slot[:, k]]])
+    geo = jnp.concatenate(cols, axis=1)  # (N, 36)
+    records = jnp.concatenate([geo, packed.records[:, 36:]], axis=1)
+    nodes = packed.nodes
+    if refitted is not None:
+        nodes = jnp.concatenate(
+            [refitted.aabb_min, refitted.aabb_max, packed.nodes[:, 6:8]], axis=1
+        )
+    return PackedBVH(nodes=nodes, records=records, n_nodes=packed.n_nodes)
+
+
 def _mt_packed(origin, direction, rec, t_min, t_max):
     """Möller–Trumbore on 4 packed triangles. rec (R, 48). Returns
     (hit, t, u, v, det) each (R, 4)."""

@@ -61,11 +61,8 @@ class PTScene(NamedTuple):
     """Device-resident inputs for one frame of path tracing."""
 
     world: WorldGeometry
-    bvh: bvh_ops.FlatBVH
-    slot_v0: Any
-    slot_e1: Any
-    slot_e2: Any
-    slot_cull_disable: Any   # (T,) bool, slot order
+    bvh: bvh_ops.FlatBVH          # topology (refit); aabbs unused at trace time
+    packed: bvh_ops.PackedBVH     # the traversal tables
     materials: T.MaterialTable
     textures: T.TextureTable
     lights: T.GpuLights
@@ -82,6 +79,22 @@ class PTMeta(NamedTuple):
     has_blend: bool = False  # any alpha-BLEND or transmissive material in use
 
 
+def slot_flag_words(world: WorldGeometry, materials, order: np.ndarray) -> np.ndarray:
+    """Packed id/flag words in BVH slot order (ops/bvh FLAG_* bits).
+
+    BLEND groups alpha-BLEND *or* transmissive materials — the rasterizer's
+    blended-draw binning (Rasterizer.cpp:74-113)."""
+    am = np.asarray(world.tri_alpha_mode)[order]
+    ds = np.asarray(world.tri_double_sided)[order]
+    tm = np.asarray(world.tri_material)[order]
+    transmissive = np.asarray(materials.transmission_factor)[tm] > 0.0
+    words = order.astype(np.int64).copy()
+    words |= np.where(am == T.ALPHA_MODE_MASK, bvh_ops.FLAG_MASKED, 0)
+    words |= np.where((am == T.ALPHA_MODE_BLEND) | transmissive, bvh_ops.FLAG_BLEND, 0)
+    words |= np.where(ds != 0, bvh_ops.FLAG_DOUBLE_SIDED, 0)
+    return words.astype(np.int32)
+
+
 def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -> (
     "tuple[PTScene, PTMeta]"
 ):
@@ -94,23 +107,21 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
     sv0 = p0[order]
     se1 = p1[order] - p0[order]
     se2 = p2[order] - p0[order]
-    ds = np.asarray(world.tri_double_sided)[order].astype(bool)
     am = np.asarray(world.tri_alpha_mode)
     tm = np.asarray(world.tri_material)
     transmissive = np.asarray(materials.transmission_factor)[tm] > 0.0
+    slot_flags = slot_flag_words(world, materials, order)
     meta = PTMeta(
         num_lights=int(len(np.asarray(lights.type))),
         has_masked=bool((am == T.ALPHA_MODE_MASK).any()),
         has_env=env is not None,
         has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
     )
+    packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
     scene = PTScene(
         world=world,
         bvh=bvh_ops._as_device(tree),
-        slot_v0=jnp.asarray(sv0),
-        slot_e1=jnp.asarray(se1),
-        slot_e2=jnp.asarray(se2),
-        slot_cull_disable=jnp.asarray(ds),
+        packed=packed,
         materials=materials,
         textures=textures,
         lights=lights,
@@ -299,11 +310,8 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
     (PathTracer.lib.hlsl:1030-1034): re-traverse from just past the rejected
     hit, bounded by MAX_ALPHA_HOPS.
     """
-    kwargs = dict(cull_sign=cull_sign, cull_disable=scene.slot_cull_disable if cull_sign else None)
-
-    hit = bvh_ops.intersect_closest(
-        scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin, direction,
-        t_min, t_max, **kwargs
+    hit = bvh_ops.intersect_closest_p(
+        scene.packed, origin, direction, t_min, t_max, cull_sign=cull_sign
     )
     if not meta.has_masked:
         return hit
@@ -317,9 +325,8 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
         tmin_next = jnp.where(need_retry, cur.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
         # Disable finished rays by collapsing their interval.
         eff_tmin = jnp.where(need_retry, tmin_next, t_max + 1.0)
-        nh = bvh_ops.intersect_closest(
-            scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin, direction,
-            eff_tmin, t_max, **kwargs
+        nh = bvh_ops.intersect_closest_p(
+            scene.packed, origin, direction, eff_tmin, t_max, cull_sign=cull_sign
         )
         merged = bvh_ops.Hit(
             t=jnp.where(need_retry, nh.t, cur.t),
@@ -362,10 +369,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
         active = fzero == 0.0
     if not alpha_shadow:
         eff_tmin = jnp.where(active, t_min, t_max + 1.0)
-        occluded = bvh_ops.intersect_any(
-            scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin, direction,
-            eff_tmin, t_max
-        )
+        occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
         return jnp.where(occluded, 0.0, 1.0)
 
     def cond(state):
@@ -375,10 +379,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     def body(state):
         alive, trans, tmin_cur, it = state
         eff_tmin = jnp.where(alive, tmin_cur, t_max + 1.0)
-        hit = bvh_ops.intersect_closest(
-            scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin, direction,
-            eff_tmin, t_max
-        )
+        hit = bvh_ops.intersect_closest_p(scene.packed, origin, direction, eff_tmin, t_max)
         hit_valid = (hit.tri >= 0) & alive
         alpha, mat = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
         a = get_alpha(scene.materials, mat, jnp.stack([alpha, alpha, alpha, alpha], -1))

@@ -235,22 +235,13 @@ def render(
     env_intensity = params.environment_intensity
     use_env = meta.has_env
 
-    # Triangle masks in BVH slot order.
-    slot_alpha_mode = scene.world.tri_alpha_mode[scene.bvh.tri_order]
-    slot_transmissive = (
-        scene.materials.transmission_factor[scene.world.tri_material[scene.bvh.tri_order]] > 0.0
-    )
-    is_blend_slot = (slot_alpha_mode == T.ALPHA_MODE_BLEND) | slot_transmissive
-    opaque_mask = ~is_blend_slot
-
     # --- Opaque + alpha-test pass (alpha-mask rejection handled by shading
     # with alpha in {0,1}: a rejected texel should "discard" — emulate by
     # re-tracing past it like the PT any-hit).
     from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry
 
-    hit = bvh_ops.intersect_closest(
-        scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin, direction,
-        t_min, t_max, tri_mask=opaque_mask,
+    hit = bvh_ops.intersect_closest_p(
+        scene.packed, origin, direction, t_min, t_max, blend_mode=bvh_ops.BLEND_EXCLUDE,
     )
     if meta.has_masked:
         def cond(state):
@@ -260,9 +251,9 @@ def render(
         def body(state):
             retry, cur, it = state
             tmin2 = jnp.where(retry, cur.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
-            nh = bvh_ops.intersect_closest(
-                scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin,
-                direction, tmin2, t_max, tri_mask=opaque_mask,
+            nh = bvh_ops.intersect_closest_p(
+                scene.packed, origin, direction, tmin2, t_max,
+                blend_mode=bvh_ops.BLEND_EXCLUDE,
             )
             merged = bvh_ops.Hit(
                 t=jnp.where(retry, nh.t, cur.t),
@@ -304,10 +295,9 @@ def render(
         layer_valid = []
         cur_tmin = t_min
         for _ in range(MAX_BLEND_LAYERS):
-            bh = bvh_ops.intersect_closest(
-                scene.bvh, scene.slot_v0, scene.slot_e1, scene.slot_e2, origin,
-                direction, cur_tmin, jnp.minimum(opaque_t, t_max),
-                tri_mask=is_blend_slot,
+            bh = bvh_ops.intersect_closest_p(
+                scene.packed, origin, direction, cur_tmin, jnp.minimum(opaque_t, t_max),
+                blend_mode=bvh_ops.BLEND_ONLY,
             )
             ok = bh.tri >= 0
             srgb, sa, scut, smode = shade_forward(

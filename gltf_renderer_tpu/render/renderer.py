@@ -143,25 +143,27 @@ class Renderer:
             )
             self._bvh_host = None if not has_dynamic else self._host_bvh_copy()
         else:
-            # Geometry moved: update world pools; refit BVH (static topology).
+            # Geometry moved: update world pools; refit BVH (static topology)
+            # and refresh the packed traversal tables on-device.
             tv = world.tri_vertex
             p0 = world.position[tv[:, 0]]
             p1 = world.position[tv[:, 1]]
             p2 = world.position[tv[:, 2]]
             tree = self._ptscene.bvh
+            packed = self._ptscene.packed
             if has_dynamic:
-                tree = bvh_ops.refit(self._refit_topo(), p0, p1, p2)
+                host = self._refit_topo()
+                refitted = bvh_ops.refit(host, p0, p1, p2)
                 tree = self._ptscene.bvh._replace(
-                    aabb_min=tree.aabb_min, aabb_max=tree.aabb_max
+                    aabb_min=refitted.aabb_min, aabb_max=refitted.aabb_max
                 )
-            order = self._ptscene.bvh.tri_order
+                order = host.tri_order
+                packed = bvh_ops.pack_update(
+                    packed, host, p0[order], (p1 - p0)[order], (p2 - p0)[order],
+                    refitted=refitted,
+                )
             self._ptscene = self._ptscene._replace(
-                world=world,
-                bvh=tree,
-                slot_v0=p0[order],
-                slot_e1=(p1 - p0)[order],
-                slot_e2=(p2 - p0)[order],
-                lights=lights_dev,
+                world=world, bvh=tree, packed=packed, lights=lights_dev
             )
         return node_tf
 
