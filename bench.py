@@ -84,11 +84,10 @@ def main():
     cam.world_to_view = look_at([1.1, -1.1, 0.6], [0.0, 0.0, 0.0])
     c2w = jnp.asarray(cam.clip_to_world())
 
-    trace_j = jax.jit(
-        lambda sc, c, s: pt.trace(
+    def trace_j(sc, c, s):
+        return pt.trace_chunked(
             sc, meta, settings, params, c, (width, height), s, with_stats=True
         )
-    )
 
     # Warmup / compile.
     img, rays = trace_j(ptscene, c2w, jnp.uint32(0))

@@ -672,6 +672,53 @@ def trace(
     return color.reshape(h, w, 3)
 
 
+_trace_rays_jit = None
+
+
+def trace_chunked(
+    scene: PTScene,
+    meta: PTMeta,
+    settings: S.PathTracerSettings,
+    params: S.PathTracerParams,
+    clip_to_world,
+    resolution,
+    seed,
+    with_stats: bool = False,
+    chunk: int = RAY_CHUNK,
+):
+    """Host-driven chunked trace: one jitted dispatch per RAY_CHUNK rays.
+
+    Unlike the lax.map path inside trace(), each chunk is a separate device
+    dispatch — long frames stay responsive and each execution stays well under
+    runtime watchdog limits; XLA pipelines consecutive dispatches.
+    """
+    global _trace_rays_jit
+    if _trace_rays_jit is None:
+        _trace_rays_jit = jax.jit(_trace_rays, static_argnums=(1, 2, 5))
+    w, h = resolution
+    py_g, px_g = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px_f = px_g.reshape(-1)
+    py_f = py_g.reshape(-1)
+    n = px_f.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    px_p = np.concatenate([px_f, np.zeros(pad, px_f.dtype)]).reshape(n_chunks, chunk)
+    py_p = np.concatenate([py_f, np.zeros(pad, py_f.dtype)]).reshape(n_chunks, chunk)
+    outs = []
+    rays_total = []
+    for c in range(n_chunks):
+        col, rays = _trace_rays_jit(
+            scene, meta, settings, params, clip_to_world, (w, h), seed,
+            jnp.asarray(px_p[c]), jnp.asarray(py_p[c]),
+        )
+        outs.append(col)
+        rays_total.append(rays)
+    color = jnp.concatenate(outs, 0)[:n].reshape(h, w, 3)
+    if with_stats:
+        return color, jnp.sum(jnp.stack(rays_total))
+    return color
+
+
 def _trace_rays(
     scene: PTScene,
     meta: PTMeta,
