@@ -77,6 +77,46 @@ class PTMeta(NamedTuple):
     has_masked: bool
     has_env: bool
     has_blend: bool = False  # any alpha-BLEND or transmissive material in use
+    use_pallas: bool = False  # packet-traversal kernel (scene fits VMEM, TPU)
+
+
+# Pallas packet kernel needs nodes+records resident in VMEM (~16 MB/core).
+PALLAS_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pallas_available() -> bool:
+    import os
+
+    if os.environ.get("GLTF_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:
+        return False
+
+
+def _packet_closest(packed, origin, direction, t_min, t_max, blend_mode=0, cull_sign=0):
+    from gltf_renderer_tpu.ops.pallas_trace import traverse_packets
+
+    t, word, u, v = traverse_packets(
+        packed, origin, direction, t_min, jnp.broadcast_to(t_max, t_min.shape),
+        cull_sign=cull_sign, blend_mode=blend_mode,
+    )
+    tri = jnp.where(word >= 0, word & bvh_ops.ID_MASK, -1)
+    return bvh_ops.Hit(t=t, tri=tri, u=u, v=v)
+
+
+def closest_hit(scene, meta, origin, direction, t_min, t_max, blend_mode=0, cull_sign=0):
+    """Dispatch: Pallas packet kernel on TPU (scene in VMEM) or XLA wavefront."""
+    if meta.use_pallas:
+        return _packet_closest(
+            scene.packed, origin, direction, t_min, t_max,
+            blend_mode=blend_mode, cull_sign=cull_sign,
+        )
+    return bvh_ops.intersect_closest_p(
+        scene.packed, origin, direction, t_min, t_max,
+        blend_mode=blend_mode, cull_sign=cull_sign,
+    )
 
 
 def slot_flag_words(world: WorldGeometry, materials, order: np.ndarray) -> np.ndarray:
@@ -118,6 +158,10 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
+    table_bytes = 4 * (packed.nodes.size + packed.records.size)
+    meta = meta._replace(
+        use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET
+    )
     scene = PTScene(
         world=world,
         bvh=bvh_ops._as_device(tree),
@@ -310,9 +354,7 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
     (PathTracer.lib.hlsl:1030-1034): re-traverse from just past the rejected
     hit, bounded by MAX_ALPHA_HOPS.
     """
-    hit = bvh_ops.intersect_closest_p(
-        scene.packed, origin, direction, t_min, t_max, cull_sign=cull_sign
-    )
+    hit = closest_hit(scene, meta, origin, direction, t_min, t_max, cull_sign=cull_sign)
     if not meta.has_masked:
         return hit
 
@@ -325,9 +367,7 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
         tmin_next = jnp.where(need_retry, cur.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
         # Disable finished rays by collapsing their interval.
         eff_tmin = jnp.where(need_retry, tmin_next, t_max + 1.0)
-        nh = bvh_ops.intersect_closest_p(
-            scene.packed, origin, direction, eff_tmin, t_max, cull_sign=cull_sign
-        )
+        nh = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, cull_sign=cull_sign)
         merged = bvh_ops.Hit(
             t=jnp.where(need_retry, nh.t, cur.t),
             tri=jnp.where(need_retry, nh.tri, cur.tri),
@@ -369,7 +409,11 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
         active = fzero == 0.0
     if not alpha_shadow:
         eff_tmin = jnp.where(active, t_min, t_max + 1.0)
-        occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
+        if meta.use_pallas:
+            hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max)
+            occluded = hit.tri >= 0
+        else:
+            occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
         return jnp.where(occluded, 0.0, 1.0)
 
     def cond(state):
@@ -379,7 +423,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     def body(state):
         alive, trans, tmin_cur, it = state
         eff_tmin = jnp.where(alive, tmin_cur, t_max + 1.0)
-        hit = bvh_ops.intersect_closest_p(scene.packed, origin, direction, eff_tmin, t_max)
+        hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max)
         hit_valid = (hit.tri >= 0) & alive
         alpha, mat = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
         a = get_alpha(scene.materials, mat, jnp.stack([alpha, alpha, alpha, alpha], -1))
@@ -616,7 +660,7 @@ def _balance_heuristic(pdf, other_pdf):
 # The tracer
 # ---------------------------------------------------------------------------
 
-RAY_CHUNK = 65536  # rays per lax.map chunk (bounds live memory / gather sizes)
+RAY_CHUNK = 262144  # rays per dispatch chunk (amortizes fixed per-gather cost)
 
 
 def trace(

@@ -238,10 +238,10 @@ def render(
     # --- Opaque + alpha-test pass (alpha-mask rejection handled by shading
     # with alpha in {0,1}: a rejected texel should "discard" — emulate by
     # re-tracing past it like the PT any-hit).
-    from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry
+    from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry, closest_hit
 
-    hit = bvh_ops.intersect_closest_p(
-        scene.packed, origin, direction, t_min, t_max, blend_mode=bvh_ops.BLEND_EXCLUDE,
+    hit = closest_hit(
+        scene, meta, origin, direction, t_min, t_max, blend_mode=bvh_ops.BLEND_EXCLUDE,
     )
     if meta.has_masked:
         def cond(state):
@@ -251,8 +251,8 @@ def render(
         def body(state):
             retry, cur, it = state
             tmin2 = jnp.where(retry, cur.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
-            nh = bvh_ops.intersect_closest_p(
-                scene.packed, origin, direction, tmin2, t_max,
+            nh = closest_hit(
+                scene, meta, origin, direction, tmin2, t_max,
                 blend_mode=bvh_ops.BLEND_EXCLUDE,
             )
             merged = bvh_ops.Hit(
@@ -295,8 +295,8 @@ def render(
         layer_valid = []
         cur_tmin = t_min
         for _ in range(MAX_BLEND_LAYERS):
-            bh = bvh_ops.intersect_closest_p(
-                scene.packed, origin, direction, cur_tmin, jnp.minimum(opaque_t, t_max),
+            bh = closest_hit(
+                scene, meta, origin, direction, cur_tmin, jnp.minimum(opaque_t, t_max),
                 blend_mode=bvh_ops.BLEND_ONLY,
             )
             ok = bh.tri >= 0
