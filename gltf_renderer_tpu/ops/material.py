@@ -2,26 +2,128 @@
 
 Port of GetSurfaceProperties (PathTracer.lib.hlsl:318-381) and the per-property
 texture getters (Material.hlsli:98-262), vectorized over hits.
+
+Hot path: ONE (M, 144) material-row gather per hit (scene/types.pack_material_rows)
++ one (T, 9) texture-metadata row gather and 4 atlas texel gathers per USED
+slot. `used_slots` (static, from PTMeta) skips texture slots no material in the
+scene references — the TPU analogue of shader permutations.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gltf_renderer_tpu.ops.bsdf import MINIMUM_ROUGHNESS, SurfaceProperties
 from gltf_renderer_tpu.ops.texture import sample_texture
 from gltf_renderer_tpu.scene import types as T
-from gltf_renderer_tpu.utils.math import dot, normalize, reflect, saturate
+from gltf_renderer_tpu.utils.math import decode_srgb, dot, normalize, reflect, saturate
 from gltf_renderer_tpu.scene.types import (
     ALPHA_MODE_BLEND,
     ALPHA_MODE_MASK,
+    MATERIAL_ROW_FACTORS,
+    MATERIAL_SLOT_STRIDE,
 )
+
+ALL_SLOTS = tuple(range(T.N_TEX_SLOTS))
+
+
+def _bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def sample_texture_row(textures, tex_id, uv, rotation, offset, scale):
+    """Atlas sample using the packed (T, 9) texture metadata rows.
+
+    One metadata row gather + 4 texel gathers (bilinear) or 1 (nearest mix).
+    """
+    from gltf_renderer_tpu.ops.texture import transform_uv
+    from gltf_renderer_tpu.scene.types import WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT
+
+    if textures.rows is None or textures.rows.shape[0] == 0:
+        return jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
+
+    uv = transform_uv(uv, rotation, offset, scale)
+    present = tex_id >= 0
+    tid = jnp.clip(tex_id, 0, textures.rows.shape[0] - 1)
+    trow = textures.rows[tid]
+    ox = trow[:, 0].astype(jnp.int32)
+    oy = trow[:, 1].astype(jnp.int32)
+    w = trow[:, 2].astype(jnp.int32)
+    h = trow[:, 3].astype(jnp.int32)
+    ws = trow[:, 4].astype(jnp.int32)
+    wt = trow[:, 5].astype(jnp.int32)
+    nearest = trow[:, 6].astype(jnp.int32)
+    srgb = trow[:, 7].astype(jnp.int32)
+
+    def wrap(coord, size, mode):
+        rep = jnp.mod(coord, size)
+        clam = jnp.clip(coord, 0, size - 1)
+        period = 2 * size
+        m = jnp.mod(coord, period)
+        mir = jnp.where(m >= size, period - 1 - m, m)
+        return jnp.where(mode == WRAP_REPEAT, rep, jnp.where(mode == WRAP_CLAMP, clam, mir))
+
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    fx = uv[..., 0] * wf - 0.5
+    fy = uv[..., 1] * hf - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    ah, aw = textures.atlas.shape[0], textures.atlas.shape[1]
+
+    # Nearest filter folds into the corner weights (avoids a 5th gather).
+    nx = jnp.floor(uv[..., 0] * wf).astype(jnp.int32)
+    ny = jnp.floor(uv[..., 1] * hf).astype(jnp.int32)
+    is_near = (nearest == 1)
+    x0 = jnp.where(is_near, nx, x0)
+    y0 = jnp.where(is_near, ny, y0)
+    tx = jnp.where(is_near[..., None], 0.0, tx)
+    ty = jnp.where(is_near[..., None], 0.0, ty)
+
+    def fetch(xi, yi):
+        xi = jnp.clip(wrap(xi, w, ws) + ox, 0, aw - 1)
+        yi = jnp.clip(wrap(yi, h, wt) + oy, 0, ah - 1)
+        texel = textures.atlas[yi, xi].astype(jnp.float32) / 255.0
+        rgb = jnp.where(srgb[..., None] == 1, decode_srgb(texel[..., :3]), texel[..., :3])
+        return jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
+    return jnp.where(present[..., None], out, jnp.ones_like(out))
+
+
+def _slot_from_row(row, slot):
+    b = MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * slot
+    tid = _bits(row[:, b])
+    uvset = _bits(row[:, b + 1])
+    rot = row[:, b + 2]
+    off = row[:, b + 3 : b + 5]
+    scl = row[:, b + 5 : b + 7]
+    return tid, uvset, rot, off, scl
+
+
+def slot_sample_row(row, textures, slot, uv0, uv1, used_slots=ALL_SLOTS):
+    """Sample one slot from packed rows. Static skip when the slot is unused
+    by every material in the scene."""
+    if slot not in used_slots:
+        ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
+        return ones, jnp.zeros(uv0.shape[:-1], bool)
+    tid, uvset, rot, off, scl = _slot_from_row(row, slot)
+    uv = jnp.where((uvset == 1)[..., None], uv1, uv0)
+    rgba = sample_texture_row(textures, tid, uv, rot, off, scl)
+    return rgba, tid >= 0
 
 
 def slot_sample(materials, textures, mat_id, slot, uv0, uv1):
-    """Sample one material texture slot for a batch of hits. Returns (rgba, present)."""
+    """Legacy unpacked-slot sampling (kept for tools/tests)."""
     tid = materials.tex_index[mat_id, slot]
     uvset = materials.tex_uvset[mat_id, slot]
     rot = materials.tex_rotation[mat_id, slot]
@@ -32,11 +134,28 @@ def slot_sample(materials, textures, mat_id, slot, uv0, uv1):
     return rgba, tid >= 0
 
 
+def get_base_color_row(row, textures, uv0, uv1, vertex_color, used_slots=ALL_SLOTS):
+    base = row[:, 0:4] * vertex_color
+    rgba, _ = slot_sample_row(row, textures, T.TEX_ALBEDO, uv0, uv1, used_slots)
+    return base * rgba
+
+
 def get_base_color(materials, textures, mat_id, uv0, uv1, vertex_color):
     """Material.hlsli GetBaseColor:98-106."""
-    base = materials.base_color_factor[mat_id] * vertex_color
-    rgba, _ = slot_sample(materials, textures, mat_id, T.TEX_ALBEDO, uv0, uv1)
-    return base * rgba
+    row = materials.rows[mat_id]
+    return get_base_color_row(row, textures, uv0, uv1, vertex_color)
+
+
+def get_alpha_row(row, base_color):
+    """Material.hlsli GetAlpha:108-117 using the packed row."""
+    mode = _bits(row[:, 33])
+    cutoff = row[:, 10]
+    a = base_color[..., 3]
+    return jnp.where(
+        mode == ALPHA_MODE_BLEND,
+        a,
+        jnp.where(mode == ALPHA_MODE_MASK, jnp.where(a < cutoff, 0.0, 1.0), 1.0),
+    )
 
 
 def get_alpha(materials, mat_id, base_color):
@@ -90,69 +209,70 @@ def get_surface_properties(
     view,              # (R, 3) unit, toward camera
     use_geometric_normals: bool = False,
     shading_normal_adaptation: bool = True,
+    used_slots: Tuple[int, ...] = ALL_SLOTS,
 ):
-    """Returns (SurfaceProperties, SurfaceExtras)."""
-    base_color = get_base_color(materials, textures, mat_id, uv0, uv1, vertex_color)
+    """Returns (SurfaceProperties, SurfaceExtras). One material-row gather."""
+    row = materials.rows[mat_id]
+
+    base_color = get_base_color_row(row, textures, uv0, uv1, vertex_color, used_slots)
     albedo = base_color[..., :3]
-    alpha = get_alpha(materials, mat_id, base_color)
+    alpha = get_alpha_row(row, base_color)
 
     # Shading normal (Material.hlsli GetShadingNormal:119-128).
-    nrm_s, nrm_p = slot_sample(materials, textures, mat_id, T.TEX_NORMAL, uv0, uv1)
+    nrm_s, nrm_p = slot_sample_row(row, textures, T.TEX_NORMAL, uv0, uv1, used_slots)
     shading_normal = _perturb_normal(
-        nrm_s[..., :3], nrm_p, materials.normal_scale[mat_id], normal,
+        nrm_s[..., :3], nrm_p, row[:, 12], normal,
         tangent[..., :3], bitangent, normal,
     )
     if shading_normal_adaptation:
         shading_normal = normal_adaptation(geometric_normal, shading_normal, view)
 
     # Metalness / roughness.
-    mr_s, mr_p = slot_sample(materials, textures, mat_id, T.TEX_METALLIC_ROUGHNESS, uv0, uv1)
-    metalness = materials.metalness_factor[mat_id] * mr_s[..., 2]
-    roughness = materials.roughness_factor[mat_id] * mr_s[..., 1]
+    mr_s, mr_p = slot_sample_row(row, textures, T.TEX_METALLIC_ROUGHNESS, uv0, uv1, used_slots)
+    metalness = row[:, 4] * mr_s[..., 2]
+    roughness = row[:, 5] * mr_s[..., 1]
     rough2 = jnp.maximum(roughness * roughness, MINIMUM_ROUGHNESS)
 
     # Occlusion (Material.hlsli:142-150).
-    occ_s, occ_p = slot_sample(materials, textures, mat_id, T.TEX_OCCLUSION, uv0, uv1)
-    occlusion = jnp.where(
-        occ_p, 1.0 + materials.occlusion_factor[mat_id] * (occ_s[..., 0] - 1.0), 1.0
-    )
+    occ_s, occ_p = slot_sample_row(row, textures, T.TEX_OCCLUSION, uv0, uv1, used_slots)
+    occlusion = jnp.where(occ_p, 1.0 + row[:, 6] * (occ_s[..., 0] - 1.0), 1.0)
 
     # Emissive.
-    em_s, _ = slot_sample(materials, textures, mat_id, T.TEX_EMISSIVE, uv0, uv1)
-    emissive = materials.emissive_factor[mat_id] * em_s[..., :3]
+    em_s, _ = slot_sample_row(row, textures, T.TEX_EMISSIVE, uv0, uv1, used_slots)
+    emissive = row[:, 7:10] * em_s[..., :3]
 
-    ior = materials.ior[mat_id]
+    ior = row[:, 11]
 
-    sp_s, _ = slot_sample(materials, textures, mat_id, T.TEX_SPECULAR, uv0, uv1)
-    specular_factor = materials.specular_factor[mat_id] * sp_s[..., 3]
-    spc_s, _ = slot_sample(materials, textures, mat_id, T.TEX_SPECULAR_COLOR, uv0, uv1)
-    specular_color = materials.specular_color_factor[mat_id] * spc_s[..., :3]
+    sp_s, _ = slot_sample_row(row, textures, T.TEX_SPECULAR, uv0, uv1, used_slots)
+    specular_factor = row[:, 13] * sp_s[..., 3]
+    spc_s, _ = slot_sample_row(row, textures, T.TEX_SPECULAR_COLOR, uv0, uv1, used_slots)
+    specular_color = row[:, 14:17] * spc_s[..., :3]
 
-    cc_s, _ = slot_sample(materials, textures, mat_id, T.TEX_CLEARCOAT, uv0, uv1)
-    clearcoat = materials.clearcoat_factor[mat_id] * cc_s[..., 0]
-    ccr_s, _ = slot_sample(materials, textures, mat_id, T.TEX_CLEARCOAT_ROUGHNESS, uv0, uv1)
-    clearcoat_roughness = materials.clearcoat_roughness_factor[mat_id] * ccr_s[..., 1]
-    ccn_s, ccn_p = slot_sample(materials, textures, mat_id, T.TEX_CLEARCOAT_NORMAL, uv0, uv1)
+    cc_s, _ = slot_sample_row(row, textures, T.TEX_CLEARCOAT, uv0, uv1, used_slots)
+    clearcoat = row[:, 17] * cc_s[..., 0]
+    ccr_s, _ = slot_sample_row(row, textures, T.TEX_CLEARCOAT_ROUGHNESS, uv0, uv1, used_slots)
+    clearcoat_roughness = row[:, 18] * ccr_s[..., 1]
+    ccn_s, ccn_p = slot_sample_row(row, textures, T.TEX_CLEARCOAT_NORMAL, uv0, uv1, used_slots)
     clearcoat_normal = _perturb_normal(
-        ccn_s[..., :3], ccn_p, materials.clearcoat_normal_scale[mat_id], normal,
+        ccn_s[..., :3], ccn_p, row[:, 19], normal,
         tangent[..., :3], bitangent, normal,
     )
     if shading_normal_adaptation:
         clearcoat_normal = normal_adaptation(geometric_normal, clearcoat_normal, view)
 
     # Anisotropy (Material.hlsli:245-262).
-    an_s, an_p = slot_sample(materials, textures, mat_id, T.TEX_ANISOTROPY, uv0, uv1)
+    an_s, an_p = slot_sample_row(row, textures, T.TEX_ANISOTROPY, uv0, uv1, used_slots)
     an_tex = jnp.where(
         an_p[..., None],
         jnp.concatenate([an_s[..., 0:2] * 2.0 - 1.0, an_s[..., 2:3]], -1),
         jnp.broadcast_to(jnp.asarray([1.0, 0.0, 1.0]), an_s[..., :3].shape),
     )
-    a_rot = materials.anisotropy_rotation[mat_id]
+    a_rot = row[:, 21]
     ca, sa = jnp.cos(a_rot), jnp.sin(a_rot)
     adx = ca * an_tex[..., 0] - sa * an_tex[..., 1]
     ady = sa * an_tex[..., 0] + ca * an_tex[..., 1]
     a_dir = normalize(jnp.stack([adx, ady], -1))
-    a_strength = materials.anisotropy_strength[mat_id] * an_tex[..., 2]
+    a_strength = row[:, 20] * an_tex[..., 2]
 
     # Shading tangent frame (Material.hlsli:264-280).
     shading_bitangent = normalize(jnp.cross(shading_normal, tangent[..., :3]))
@@ -167,17 +287,17 @@ def get_surface_properties(
         rough2 + (1.0 - rough2) * a_strength * a_strength, MINIMUM_ROUGHNESS
     )
 
-    shc_s, _ = slot_sample(materials, textures, mat_id, T.TEX_SHEEN_COLOR, uv0, uv1)
-    sheen_color = materials.sheen_color_factor[mat_id] * shc_s[..., :3]
-    shr_s, _ = slot_sample(materials, textures, mat_id, T.TEX_SHEEN_ROUGHNESS, uv0, uv1)
-    sheen_roughness = materials.sheen_roughness_factor[mat_id] * shr_s[..., 3]
+    shc_s, _ = slot_sample_row(row, textures, T.TEX_SHEEN_COLOR, uv0, uv1, used_slots)
+    sheen_color = row[:, 22:25] * shc_s[..., :3]
+    shr_s, _ = slot_sample_row(row, textures, T.TEX_SHEEN_ROUGHNESS, uv0, uv1, used_slots)
+    sheen_roughness = row[:, 25] * shr_s[..., 3]
     sheen_rough2 = jnp.maximum(sheen_roughness * sheen_roughness, MINIMUM_ROUGHNESS)
 
-    tr_s, _ = slot_sample(materials, textures, mat_id, T.TEX_TRANSMISSION, uv0, uv1)
-    transmissive = materials.transmission_factor[mat_id] * tr_s[..., 0]
+    tr_s, _ = slot_sample_row(row, textures, T.TEX_TRANSMISSION, uv0, uv1, used_slots)
+    transmissive = row[:, 26] * tr_s[..., 0]
 
-    th_s, _ = slot_sample(materials, textures, mat_id, T.TEX_THICKNESS, uv0, uv1)
-    thickness = materials.thickness_factor[mat_id] * th_s[..., 1]
+    th_s, _ = slot_sample_row(row, textures, T.TEX_THICKNESS, uv0, uv1, used_slots)
+    thickness = row[:, 27] * th_s[..., 1]
 
     if use_geometric_normals:
         shading_normal = geometric_normal
@@ -201,15 +321,15 @@ def get_surface_properties(
         sheen_roughness_squared=sheen_rough2[..., None],
         transmissive=transmissive[..., None],
         thickness=thickness[..., None],
-        attenuation_distance=materials.attenuation_distance[mat_id][..., None],
-        attenuation_color=materials.attenuation_color[mat_id],
+        attenuation_distance=row[:, 28:29],
+        attenuation_color=row[:, 29:32],
     )
     extras = SurfaceExtras(
         emissive=emissive,
         occlusion=occlusion,
         base_color=base_color,
-        flags=materials.flags[mat_id],
-        alpha_mode=materials.alpha_mode[mat_id],
-        alpha_cutoff=materials.alpha_cutoff[mat_id],
+        flags=_bits(row[:, 32]),
+        alpha_mode=_bits(row[:, 33]),
+        alpha_cutoff=row[:, 10],
     )
     return sp, extras

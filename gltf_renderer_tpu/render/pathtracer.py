@@ -78,6 +78,7 @@ class PTMeta(NamedTuple):
     has_env: bool
     has_blend: bool = False  # any alpha-BLEND or transmissive material in use
     use_pallas: bool = False  # packet-traversal kernel (scene fits VMEM, TPU)
+    used_slots: tuple = ()   # texture slots referenced by ANY material (static)
 
 
 # Pallas packet kernel needs nodes+records resident in VMEM (~16 MB/core).
@@ -151,11 +152,17 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
     tm = np.asarray(world.tri_material)
     transmissive = np.asarray(materials.transmission_factor)[tm] > 0.0
     slot_flags = slot_flag_words(world, materials, order)
+    used_slots = tuple(
+        int(s)
+        for s in range(T.N_TEX_SLOTS)
+        if bool((np.asarray(materials.tex_index)[:, s] >= 0).any())
+    )
     meta = PTMeta(
         num_lights=int(len(np.asarray(lights.type))),
         has_masked=bool((am == T.ALPHA_MODE_MASK).any()),
         has_env=env is not None,
         has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
+        used_slots=used_slots,
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
     table_bytes = 4 * (packed.nodes.size + packed.records.size)
@@ -240,31 +247,33 @@ def _generate_tangent(normal):
 
 
 def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttributes:
+    """GetVertexAttributes port on packed rows: 1 tri-row + 3 vertex-row
+    gathers (PathTracer.lib.hlsl:280-302)."""
     tri_c = jnp.clip(tri, 0, None)
-    tv = world.tri_vertex[tri_c]
+    trow = world.tri_rows[tri_c]                     # (R, 8) i32
+    i0, i1, i2 = trow[:, 0], trow[:, 1], trow[:, 2]
+    material = trow[:, 3]
+    fbits = trow[:, 4]
+    from gltf_renderer_tpu.scene.flatten import (
+        TRI_HAS_COLOR, TRI_HAS_TS, TRI_HAS_UV0, TRI_HAS_UV1,
+    )
+
+    r0 = world.vertex_rows[i0]                       # (R, 20) f32
+    r1 = world.vertex_rows[i1]
+    r2 = world.vertex_rows[i2]
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]
 
-    p0 = world.position[tv[..., 0]]
-    p1 = world.position[tv[..., 1]]
-    p2 = world.position[tv[..., 2]]
+    p0, p1, p2 = r0[:, 0:3], r1[:, 0:3], r2[:, 0:3]
     pos = w0 * p0 + w1 * p1 + w2 * p2
     gn_raw = cross(p1 - p0, p2 - p0)
     gn = normalize(gn_raw)
 
-    has_ts = world.tri_has_ts[tri_c].astype(bool)
-    n_interp = normalize(
-        w0 * world.normal[tv[..., 0]]
-        + w1 * world.normal[tv[..., 1]]
-        + w2 * world.normal[tv[..., 2]]
-    )
-    t_interp = normalize(
-        w0 * world.tangent[tv[..., 0], :3]
-        + w1 * world.tangent[tv[..., 1], :3]
-        + w2 * world.tangent[tv[..., 2], :3]
-    )
-    t_w = world.tangent[tv[..., 0], 3]
+    has_ts = (fbits & TRI_HAS_TS) != 0
+    n_interp = normalize(w0 * r0[:, 3:6] + w1 * r1[:, 3:6] + w2 * r2[:, 3:6])
+    t_interp = normalize(w0 * r0[:, 6:9] + w1 * r1[:, 6:9] + w2 * r2[:, 6:9])
+    t_w = r0[:, 9]
 
     normal = jnp.where(has_ts[..., None], n_interp, gn)
     tangent_xyz = jnp.where(has_ts[..., None], t_interp, _generate_tangent(gn))
@@ -280,24 +289,12 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
 
     bitangent = tangent[..., 3:4] * normalize(cross(normal, tangent[..., :3]))
 
-    has_col = world.tri_has_color[tri_c].astype(bool)[..., None]
-    col = jnp.where(
-        has_col,
-        w0 * world.color[tv[..., 0]] + w1 * world.color[tv[..., 1]] + w2 * world.color[tv[..., 2]],
-        1.0,
-    )
-    has_uv0 = world.tri_has_uv0[tri_c].astype(bool)[..., None]
-    uv0 = jnp.where(
-        has_uv0,
-        w0 * world.uv0[tv[..., 0]] + w1 * world.uv0[tv[..., 1]] + w2 * world.uv0[tv[..., 2]],
-        0.0,
-    )
-    has_uv1 = world.tri_has_uv1[tri_c].astype(bool)[..., None]
-    uv1 = jnp.where(
-        has_uv1,
-        w0 * world.uv1[tv[..., 0]] + w1 * world.uv1[tv[..., 1]] + w2 * world.uv1[tv[..., 2]],
-        0.0,
-    )
+    has_col = ((fbits & TRI_HAS_COLOR) != 0)[..., None]
+    col = jnp.where(has_col, w0 * r0[:, 14:18] + w1 * r1[:, 14:18] + w2 * r2[:, 14:18], 1.0)
+    has_uv0 = ((fbits & TRI_HAS_UV0) != 0)[..., None]
+    uv0 = jnp.where(has_uv0, w0 * r0[:, 10:12] + w1 * r1[:, 10:12] + w2 * r2[:, 10:12], 0.0)
+    has_uv1 = ((fbits & TRI_HAS_UV1) != 0)[..., None]
+    uv1 = jnp.where(has_uv1, w0 * r0[:, 12:14] + w1 * r1[:, 12:14] + w2 * r2[:, 12:14], 0.0)
     return HitAttributes(
         position=pos,
         geometric_normal=gn,
@@ -307,7 +304,7 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
         color=col,
         uv0=uv0,
         uv1=uv1,
-        material=world.tri_material[tri_c],
+        material=material,
         back_face=back,
     )
 
@@ -317,34 +314,31 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
 # ---------------------------------------------------------------------------
 
 def _hit_base_alpha(scene: PTScene, tri, u, v):
-    """base_color.a after textures/vertex color for (tri, u, v) hits."""
+    """base_color.a + cutoff/mode for (tri, u, v) hits — packed-row path."""
+    from gltf_renderer_tpu.ops.material import get_base_color_row
+    from gltf_renderer_tpu.scene.flatten import TRI_HAS_COLOR, TRI_HAS_UV0, TRI_HAS_UV1
+
     world = scene.world
     tri_c = jnp.clip(tri, 0, None)
-    tv = world.tri_vertex[tri_c]
+    trow = world.tri_rows[tri_c]
+    i0, i1, i2 = trow[:, 0], trow[:, 1], trow[:, 2]
+    mat = trow[:, 3]
+    fbits = trow[:, 4]
+    r0 = world.vertex_rows[i0]
+    r1 = world.vertex_rows[i1]
+    r2 = world.vertex_rows[i2]
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]
-    has_col = world.tri_has_color[tri_c].astype(bool)[..., None]
-    col = jnp.where(
-        has_col,
-        w0 * world.color[tv[..., 0]] + w1 * world.color[tv[..., 1]] + w2 * world.color[tv[..., 2]],
-        1.0,
-    )
-    has_uv0 = world.tri_has_uv0[tri_c].astype(bool)[..., None]
-    uv0 = jnp.where(
-        has_uv0,
-        w0 * world.uv0[tv[..., 0]] + w1 * world.uv0[tv[..., 1]] + w2 * world.uv0[tv[..., 2]],
-        0.0,
-    )
-    has_uv1 = world.tri_has_uv1[tri_c].astype(bool)[..., None]
-    uv1 = jnp.where(
-        has_uv1,
-        w0 * world.uv1[tv[..., 0]] + w1 * world.uv1[tv[..., 1]] + w2 * world.uv1[tv[..., 2]],
-        0.0,
-    )
-    mat = world.tri_material[tri_c]
-    base = get_base_color(scene.materials, scene.textures, mat, uv0, uv1, col)
-    return base[..., 3], mat
+    has_col = ((fbits & TRI_HAS_COLOR) != 0)[..., None]
+    col = jnp.where(has_col, w0 * r0[:, 14:18] + w1 * r1[:, 14:18] + w2 * r2[:, 14:18], 1.0)
+    has_uv0 = ((fbits & TRI_HAS_UV0) != 0)[..., None]
+    uv0 = jnp.where(has_uv0, w0 * r0[:, 10:12] + w1 * r1[:, 10:12] + w2 * r2[:, 10:12], 0.0)
+    has_uv1 = ((fbits & TRI_HAS_UV1) != 0)[..., None]
+    uv1 = jnp.where(has_uv1, w0 * r0[:, 12:14] + w1 * r1[:, 12:14] + w2 * r2[:, 12:14], 0.0)
+    mrow = scene.materials.rows[mat]
+    base = get_base_color_row(mrow, scene.textures, uv0, uv1, col)
+    return base[..., 3], mrow
 
 
 def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max, cull_sign=0):
@@ -385,12 +379,15 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
 
 
 def _needs_alpha_retry(scene: PTScene, hit: bvh_ops.Hit):
+    from gltf_renderer_tpu.scene.flatten import TRI_ALPHA_SHIFT
+
     valid = hit.tri >= 0
     tri_c = jnp.clip(hit.tri, 0, None)
-    is_mask = scene.world.tri_alpha_mode[tri_c] == T.ALPHA_MODE_MASK
+    fbits = scene.world.tri_rows[tri_c, 4]
+    is_mask = ((fbits >> TRI_ALPHA_SHIFT) & 3) == T.ALPHA_MODE_MASK
     maybe = valid & is_mask
-    alpha, mat = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
-    cutoff = scene.materials.alpha_cutoff[mat]
+    alpha, mrow = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
+    cutoff = mrow[:, 10]
     return maybe & (alpha < cutoff)
 
 
@@ -425,8 +422,10 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
         eff_tmin = jnp.where(alive, tmin_cur, t_max + 1.0)
         hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max)
         hit_valid = (hit.tri >= 0) & alive
-        alpha, mat = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
-        a = get_alpha(scene.materials, mat, jnp.stack([alpha, alpha, alpha, alpha], -1))
+        alpha, mrow = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
+        from gltf_renderer_tpu.ops.material import get_alpha_row
+
+        a = get_alpha_row(mrow, jnp.stack([alpha, alpha, alpha, alpha], -1))
         trans = jnp.where(hit_valid, trans * (1.0 - a), trans)
         alive = hit_valid & (trans > 0.0)
         tmin_cur = jnp.where(alive, hit.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
@@ -856,6 +855,7 @@ def _trace_rays(
             view,
             use_geometric_normals=settings.material_use_geometric_normals,
             shading_normal_adaptation=settings.shading_normal_adaptation,
+            used_slots=meta.used_slots,
         )
 
         if bounce == 0 and settings.debug_output != S.DEBUG_NONE:

@@ -113,6 +113,7 @@ def shade_forward(
         view,
         use_geometric_normals=False,
         shading_normal_adaptation=False,  # raster path has no adaptation
+        used_slots=meta.used_slots,
     )
 
     lighting = extras.emissive

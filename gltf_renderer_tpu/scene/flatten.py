@@ -99,6 +99,15 @@ def normal_transforms(global_tf: np.ndarray) -> np.ndarray:
     return np.transpose(np.linalg.inv(global_tf), (0, 2, 1)).astype(np.float32)
 
 
+# tri_rows flag bits (packed per-triangle word, see build_world_geometry).
+TRI_HAS_TS = 1
+TRI_HAS_UV0 = 2
+TRI_HAS_UV1 = 4
+TRI_HAS_COLOR = 8
+TRI_DOUBLE_SIDED = 16
+TRI_ALPHA_SHIFT = 5  # alpha_mode in bits 5-6
+
+
 class WorldGeometry(NamedTuple):
     """Per-frame world-space flattened geometry (the PT/raster input)."""
 
@@ -116,6 +125,9 @@ class WorldGeometry(NamedTuple):
     tri_has_uv0: Any       # (TW,) i32
     tri_has_uv1: Any       # (TW,) i32
     tri_has_color: Any     # (TW,) i32
+    # Packed hot-path rows: ONE row gather fetches a vertex / a triangle.
+    vertex_rows: Any = None  # (VW, 20) f32: pos3 nrm3 tan4 uv0_2 uv1_2 col4 pad2
+    tri_rows: Any = None     # (TW, 8) i32: v0 v1 v2 material flagbits 0 0 0
 
 
 def build_instance_plan(scene: T.Scene, scene_id: Optional[int] = None) -> T.InstancePlan:
@@ -246,13 +258,38 @@ def build_world_geometry(
     wtan = wtan / jnp.maximum(jnp.linalg.norm(wtan, axis=-1, keepdims=True), 1e-20)
     wtan = jnp.concatenate([wtan, tan[:, 3:4]], -1)
 
+    uv0 = pools.uv0[vm]
+    uv1 = pools.uv1[vm]
+    color = pools.color[vm]
+    vertex_rows = jnp.concatenate(
+        [wpos, wnrm, wtan, uv0, uv1, color, jnp.zeros((wpos.shape[0], 2), wpos.dtype)],
+        axis=1,
+    )
+    flagbits = (
+        tri_flags["tri_has_ts"] * TRI_HAS_TS
+        + tri_flags["tri_has_uv0"] * TRI_HAS_UV0
+        + tri_flags["tri_has_uv1"] * TRI_HAS_UV1
+        + tri_flags["tri_has_color"] * TRI_HAS_COLOR
+        + plan.tri_double_sided * TRI_DOUBLE_SIDED
+        + (plan.tri_alpha_mode << TRI_ALPHA_SHIFT)
+    ).astype(jnp.int32)
+    zeros_t = jnp.zeros((plan.tri_vertex.shape[0], 3), jnp.int32)
+    tri_rows = jnp.concatenate(
+        [
+            plan.tri_vertex.astype(jnp.int32),
+            plan.tri_material[:, None].astype(jnp.int32),
+            flagbits[:, None],
+            zeros_t,
+        ],
+        axis=1,
+    )
     return WorldGeometry(
         position=wpos,
         normal=wnrm,
         tangent=wtan,
-        uv0=pools.uv0[vm],
-        uv1=pools.uv1[vm],
-        color=pools.color[vm],
+        uv0=uv0,
+        uv1=uv1,
+        color=color,
         tri_vertex=plan.tri_vertex,
         tri_material=plan.tri_material,
         tri_double_sided=plan.tri_double_sided,
@@ -261,6 +298,8 @@ def build_world_geometry(
         tri_has_uv0=tri_flags["tri_has_uv0"],
         tri_has_uv1=tri_flags["tri_has_uv1"],
         tri_has_color=tri_flags["tri_has_color"],
+        vertex_rows=vertex_rows,
+        tri_rows=tri_rows,
     )
 
 

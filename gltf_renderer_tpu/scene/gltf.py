@@ -283,7 +283,7 @@ class _TextureLoader:
         atlas, rects = self.atlas.build()
         n = len(self.meta)
         meta = np.asarray(self.meta, np.int32).reshape(n, 4) if n else np.zeros((0, 4), np.int32)
-        return T.TextureTable(
+        table = T.TextureTable(
             atlas=atlas,
             x=rects[:, 0] if n else np.zeros(0, np.int32),
             y=rects[:, 1] if n else np.zeros(0, np.int32),
@@ -294,6 +294,7 @@ class _TextureLoader:
             nearest=meta[:, 2],
             srgb=meta[:, 3],
         )
+        return table._replace(rows=T.pack_texture_rows(table))
 
 
 def _tex_info(mat_ext: dict, name: str) -> Tuple[int, int, dict]:
@@ -485,7 +486,8 @@ def _load_materials(doc: dict, texloader: _TextureLoader) -> T.MaterialTable:
         if "KHR_materials_unlit" in ext:
             tbl["flags"][r] |= T.MATERIAL_FLAG_UNLIT
 
-    return T.MaterialTable(**tbl)
+    table = T.MaterialTable(**tbl)
+    return table._replace(rows=T.pack_material_rows(table))
 
 
 # ---------------------------------------------------------------------------

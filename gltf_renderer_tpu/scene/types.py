@@ -46,6 +46,78 @@ LIGHT_TYPE_POINT = 0
 LIGHT_TYPE_SPOT = 1
 LIGHT_TYPE_DIRECTIONAL = 2
 
+# Packed material row layout (see pack_material_rows).
+MATERIAL_ROW_FACTORS = 34
+MATERIAL_SLOT_STRIDE = 7
+MATERIAL_ROW_WIDTH = MATERIAL_ROW_FACTORS + 15 * MATERIAL_SLOT_STRIDE  # 139 -> pad 144
+
+
+def pack_material_rows(m) -> "Any":
+    """Pack a MaterialTable into (M, 144) f32 rows (ints bitcast).
+
+    Layout: [0:4] base_color, [4] metal, [5] rough, [6] occl, [7:10] emissive,
+    [10] alpha_cutoff, [11] ior, [12] normal_scale, [13] specular_factor,
+    [14:17] specular_color, [17] clearcoat, [18] cc_rough, [19] cc_nrm_scale,
+    [20] aniso_strength, [21] aniso_rotation, [22:25] sheen_color,
+    [25] sheen_rough, [26] transmission, [27] thickness, [28] atten_dist,
+    [29:32] atten_color, [32] flags(i32), [33] alpha_mode(i32);
+    per slot s: base 34+7s: [tex_index(i32), uvset(i32), rotation, off.xy,
+    scale.xy].
+    """
+    import numpy as _np
+
+    M = len(_np.asarray(m.flags))
+    rows = _np.zeros((M, 144), _np.float32)
+    rows[:, 0:4] = m.base_color_factor
+    rows[:, 4] = m.metalness_factor
+    rows[:, 5] = m.roughness_factor
+    rows[:, 6] = m.occlusion_factor
+    rows[:, 7:10] = m.emissive_factor
+    rows[:, 10] = m.alpha_cutoff
+    rows[:, 11] = m.ior
+    rows[:, 12] = m.normal_scale
+    rows[:, 13] = m.specular_factor
+    rows[:, 14:17] = m.specular_color_factor
+    rows[:, 17] = m.clearcoat_factor
+    rows[:, 18] = m.clearcoat_roughness_factor
+    rows[:, 19] = m.clearcoat_normal_scale
+    rows[:, 20] = m.anisotropy_strength
+    rows[:, 21] = m.anisotropy_rotation
+    rows[:, 22:25] = m.sheen_color_factor
+    rows[:, 25] = m.sheen_roughness_factor
+    rows[:, 26] = m.transmission_factor
+    rows[:, 27] = m.thickness_factor
+    rows[:, 28] = m.attenuation_distance
+    rows[:, 29:32] = m.attenuation_color
+    rows[:, 32] = _np.asarray(m.flags, _np.int32).view(_np.float32)
+    rows[:, 33] = _np.asarray(m.alpha_mode, _np.int32).view(_np.float32)
+    for s in range(N_TEX_SLOTS):
+        b = MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * s
+        rows[:, b] = _np.asarray(m.tex_index[:, s], _np.int32).view(_np.float32)
+        rows[:, b + 1] = _np.asarray(m.tex_uvset[:, s], _np.int32).view(_np.float32)
+        rows[:, b + 2] = m.tex_rotation[:, s]
+        rows[:, b + 3 : b + 5] = m.tex_offset[:, s]
+        rows[:, b + 5 : b + 7] = m.tex_scale[:, s]
+    return rows
+
+
+def pack_texture_rows(t) -> "Any":
+    import numpy as _np
+
+    n = len(_np.asarray(t.x))
+    rows = _np.zeros((n, 9), _np.float32)
+    if n:
+        rows[:, 0] = t.x
+        rows[:, 1] = t.y
+        rows[:, 2] = t.width
+        rows[:, 3] = t.height
+        rows[:, 4] = t.wrap_s
+        rows[:, 5] = t.wrap_t
+        rows[:, 6] = t.nearest
+        rows[:, 7] = t.srgb
+    return rows
+
+
 # Wrap modes (glTF sampler -> resolved at load).
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -94,6 +166,8 @@ class MaterialTable(NamedTuple):
     tex_rotation: Any          # (M, N_TEX_SLOTS) f32
     tex_offset: Any            # (M, N_TEX_SLOTS, 2) f32
     tex_scale: Any             # (M, N_TEX_SLOTS, 2) f32
+    rows: Any = None           # (M, MATERIAL_ROW_WIDTH) f32 — packed row per
+    # material: ONE gather fetches everything a hit needs (see pack_material_rows)
 
 
 class TextureTable(NamedTuple):
@@ -113,6 +187,8 @@ class TextureTable(NamedTuple):
     wrap_t: Any     # (T,) int32
     nearest: Any    # (T,) int32 (1 = point filter)
     srgb: Any       # (T,) int32 (decode to linear after fetch, before filter)
+    rows: Any = None  # (T, 9) f32 — packed per-texture metadata row
+    # [x, y, w, h, wrap_s, wrap_t, nearest, srgb, pad] (ints stored as f32)
 
 
 class GeometryPools(NamedTuple):
