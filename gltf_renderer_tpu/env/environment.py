@@ -54,6 +54,7 @@ class EnvMaps(NamedTuple):
     diffuse: Any           # (6, D, D, 3)
     importance: List[Any]  # mip list of (S, S) luminance *sums*; [-1] is (1,1)
     equirect: Any          # (H, W, 3) source
+    importance_quads: List[Any] = None  # quad-packed mips (one-gather descent)
 
 
 # ---------------------------------------------------------------------------
@@ -268,8 +269,10 @@ def build_environment(
         ggx = build_ggx_cube(cube_mips)
         diffuse = build_diffuse_cube(cube_mips)
         importance = build_importance_map(cube_mips[0], cube_mips[1:])
+        quads = sampling.pack_importance_quads(importance)
         return EnvMaps(
-            cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance, equirect=eq
+            cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance,
+            equirect=eq, importance_quads=quads,
         )
 
     try:
@@ -299,7 +302,12 @@ def env_sample(env: EnvMaps, u2):
 
     Returns (direction, radiance, pdf_solid_angle).
     """
-    uv, pdf = sampling.sample_importance_map(env.importance, u2)
+    if env.importance_quads:
+        uv, pdf = sampling.sample_importance_map_quads(
+            env.importance_quads, env.importance[-1][0, 0], u2
+        )
+    else:
+        uv, pdf = sampling.sample_importance_map(env.importance, u2)
     direction = square_to_sphere(uv_to_unit_square(uv))
     pdf = pdf / (4.0 * PI)
     color = sample_cube_level(env.cube[0], direction)

@@ -370,6 +370,7 @@ def gltf_bsdf(
     l,
     is_transmission: Optional[jnp.ndarray] = None,
     sheen_table=None,
+    enable_sheen: bool = True,
 ):
     """Layered glTF BSDF evaluation.
 
@@ -415,14 +416,16 @@ def gltf_bsdf(
     metal = refl_mask[..., None] * conductor_fresnel(specular, sp.albedo, h_dot_v[..., None])
     material = dielectric + sp.metalness * (metal - dielectric)
 
-    # Sheen.
-    sheen_a = jnp.clip(sp.sheen_roughness_squared[..., 0], 1e-6, 1.0)
-    sheen = refl_mask * lz_pos * sheen_brdf(
-        sheen_a, l_local[..., 2], v_local[..., 2], h_local[..., 2]
-    )
-    material = sheen_mix(
-        material, sheen, sp.sheen_color, sheen_a, l_local[..., 2], v_local[..., 2], sheen_table
-    )
+    # Sheen (statically skipped when no material in the scene has sheen).
+    if enable_sheen:
+        sheen_a = jnp.clip(sp.sheen_roughness_squared[..., 0], 1e-6, 1.0)
+        sheen = refl_mask * lz_pos * sheen_brdf(
+            sheen_a, l_local[..., 2], v_local[..., 2], h_local[..., 2]
+        )
+        material = sheen_mix(
+            material, sheen, sp.sheen_color, sheen_a, l_local[..., 2], v_local[..., 2],
+            sheen_table,
+        )
 
     # Clearcoat (about the clearcoat normal, not the shading normal).
     cn = sp.clearcoat_normal

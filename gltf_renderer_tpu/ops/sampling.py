@@ -99,6 +99,83 @@ def sample_ggx_visible_normal(a, v_local, u):
     return normalize(h)
 
 
+def pack_importance_quads(mips):
+    """Host/device: quad-pack each mip for one-gather descent steps.
+
+    quads[i] has shape (S_i/2, S_i/2, 4) = [UL, UR, LL, LR] of mips[i] — the
+    2x2 block the hierarchical descent reads at level i (Sampling.hlsli:129).
+    """
+    quads = []
+    for m in mips[:-1]:
+        if m.shape[0] < 2:
+            break
+        quads.append(
+            jnp.stack(
+                [m[0::2, 0::2], m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]], axis=-1
+            )
+        )
+    return quads
+
+
+def sample_importance_map_quads(quads, total, u):
+    """Hierarchical descent with ONE row gather per level.
+
+    quads: list from pack_importance_quads, coarse..fine is quads[-1]..[0]?
+    No — quads[i] corresponds to mips[i]; descent runs i = len(quads)-1 .. 0.
+    total: mips[-1][0,0] scalar sum. Returns (uv, pdf) like
+    sample_importance_map.
+    """
+    ux = u[..., 0]
+    uy = u[..., 1]
+    px = jnp.zeros(ux.shape, jnp.int32)
+    py = jnp.zeros(ux.shape, jnp.int32)
+    size = quads[0].shape[0] * 2
+    last_quad = None
+    last_kx = None
+    last_ky = None
+    for level in range(len(quads) - 1, -1, -1):
+        q = quads[level]  # (S/2, S/2, 4); pixel (px, py) of mip level+? —
+        # at this step the current (px, py) addresses mip[level+1] == quad grid.
+        row = q[py, px]
+        ul, ur, ll, lr = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
+        left = ul + ll
+        right = ur + lr
+        tot = jnp.maximum(left + right, 1e-30)
+        prob_left = left / tot
+        go_left = ux < prob_left
+        ux = jnp.where(
+            go_left,
+            ux / jnp.maximum(prob_left, 1e-30),
+            (ux - prob_left) / jnp.maximum(1.0 - prob_left, 1e-30),
+        )
+        top = jnp.where(go_left, ul, ur)
+        col = jnp.where(go_left, left, right)
+        prob_upper = top / jnp.maximum(col, 1e-30)
+        go_up = uy < prob_upper
+        uy = jnp.where(
+            go_up,
+            uy / jnp.maximum(prob_upper, 1e-30),
+            (uy - prob_upper) / jnp.maximum(1.0 - prob_upper, 1e-30),
+        )
+        kx = jnp.where(go_left, 0, 1)
+        ky = jnp.where(go_up, 0, 1)
+        last_quad, last_kx, last_ky = row, kx, ky
+        px = px * 2 + kx
+        py = py * 2 + ky
+    # Final texel value selected from the last quad row — no extra gather.
+    value = jnp.where(
+        last_ky == 0,
+        jnp.where(last_kx == 0, last_quad[..., 0], last_quad[..., 1]),
+        jnp.where(last_kx == 0, last_quad[..., 2], last_quad[..., 3]),
+    )
+    pdf = float(size) * float(size) * value / jnp.maximum(total, 1e-30)
+    uv = jnp.stack(
+        [(px.astype(jnp.float32) + ux) / size, (py.astype(jnp.float32) + uy) / size],
+        axis=-1,
+    )
+    return uv, pdf
+
+
 def sample_importance_map(mips, u):
     """Hierarchical 2x2 descent over a luminance-sum mip pyramid.
 

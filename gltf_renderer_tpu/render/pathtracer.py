@@ -79,6 +79,7 @@ class PTMeta(NamedTuple):
     has_blend: bool = False  # any alpha-BLEND or transmissive material in use
     use_pallas: bool = False  # packet-traversal kernel (scene fits VMEM, TPU)
     used_slots: tuple = ()   # texture slots referenced by ANY material (static)
+    has_sheen: bool = True   # any material with sheen (skips LUT lookups)
 
 
 # Pallas packet kernel needs nodes+records resident in VMEM (~16 MB/core).
@@ -157,12 +158,17 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         for s in range(T.N_TEX_SLOTS)
         if bool((np.asarray(materials.tex_index)[:, s] >= 0).any())
     )
+    has_sheen = bool(
+        (np.asarray(materials.sheen_color_factor) > 0).any()
+        or (np.asarray(materials.tex_index)[:, T.TEX_SHEEN_COLOR] >= 0).any()
+    )
     meta = PTMeta(
         num_lights=int(len(np.asarray(lights.type))),
         has_masked=bool((am == T.ALPHA_MODE_MASK).any()),
         has_env=env is not None,
         has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
         used_slots=used_slots,
+        has_sheen=has_sheen,
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
     table_bytes = 4 * (packed.nodes.size + packed.records.size)
@@ -530,7 +536,8 @@ def bsdf_pdf(sp, v, l, is_transmission, probs):
     return jnp.where(is_transmission, tr_p * _transmission_pdf(sp, v, l), refl_pdf)
 
 
-def evaluate_bsdf(sp, geometric_normal, v, l, settings: S.PathTracerSettings, sheen_table):
+def evaluate_bsdf(sp, geometric_normal, v, l, settings: S.PathTracerSettings, sheen_table,
+                  enable_sheen: bool = True):
     """EvaluateBsdf (PathTracer.lib.hlsl:567-593). Returns (bsdf, pdf)."""
     if settings.material_diffuse_white:
         n_dot_l = saturate(dot(sp.shading_normal, l, keepdims=False))
@@ -544,16 +551,20 @@ def evaluate_bsdf(sp, geometric_normal, v, l, settings: S.PathTracerSettings, sh
         ) < 0.0
         probs = layer_probabilities(sp, v)
         pdf = bsdf_pdf(sp, v, l, is_t, probs)
-        f = sp.alpha * gltf_bsdf(sp, v, l, is_transmission=is_t, sheen_table=sheen_table)
+        f = sp.alpha * gltf_bsdf(
+            sp, v, l, is_transmission=is_t, sheen_table=sheen_table,
+            enable_sheen=enable_sheen,
+        )
         return f, pdf
 
     n_dot_l = saturate(dot(sp.shading_normal, l, keepdims=False))
     pdf = n_dot_l / PI * sp.alpha[..., 0]
-    f = sp.alpha * gltf_bsdf(sp, v, l, sheen_table=sheen_table)
+    f = sp.alpha * gltf_bsdf(sp, v, l, sheen_table=sheen_table, enable_sheen=enable_sheen)
     return f, pdf
 
 
-def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table):
+def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table,
+                enable_sheen: bool = True):
     """SampleBsdf (PathTracer.lib.hlsl:595-667).
 
     Returns (bsdf, l, pdf, is_transmission, use_mis).
@@ -603,7 +614,10 @@ def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table):
         l = jnp.where(sel_alpha[..., None], -v, l)
         is_t = sel_tr | sel_alpha
         pdf = bsdf_pdf(sp, v, l, sel_tr, probs)
-        f = sp.alpha * gltf_bsdf(sp, v, l, is_transmission=sel_tr, sheen_table=sheen_table)
+        f = sp.alpha * gltf_bsdf(
+            sp, v, l, is_transmission=sel_tr, sheen_table=sheen_table,
+            enable_sheen=enable_sheen,
+        )
         # Alpha layer override (SampleBsdf:622-628).
         pdf = jnp.where(sel_alpha, alpha_p, pdf)
         f = jnp.where(sel_alpha[..., None], (1.0 - sp.alpha), f)
@@ -615,7 +629,7 @@ def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table):
     n = sp.shading_normal
     l = sampling.sample_cosine_hemisphere(n, u3[..., 1:3])
     pdf = sampling.cosine_hemisphere_pdf(n, l) * sp.alpha[..., 0]
-    f = sp.alpha * gltf_bsdf(sp, v, l, sheen_table=sheen_table)
+    f = sp.alpha * gltf_bsdf(sp, v, l, sheen_table=sheen_table, enable_sheen=enable_sheen)
     l = jnp.where(pass_through[..., None], -v, l)
     pdf = jnp.where(pass_through, 1.0 - sp.alpha[..., 0], pdf)
     f = jnp.where(pass_through[..., None], 1.0 - sp.alpha, f)
@@ -883,7 +897,8 @@ def _trace_rays(
             ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
             l_col = l_col * shadow[..., None]
             f, f_pdf = evaluate_bsdf(
-                sp, attrs.geometric_normal, view, l_dir, settings, scene.sheen_table
+                sp, attrs.geometric_normal, view, l_dir, settings, scene.sheen_table,
+                enable_sheen=meta.has_sheen,
             )
             mis = _balance_heuristic(l_pdf, f_pdf)
             contrib = (mis[..., None] * f * l_col) / jnp.maximum(l_pdf[..., None], 1e-20)
@@ -908,7 +923,7 @@ def _trace_rays(
                 l_col = l_col * shadow[..., None]
             f, _ = evaluate_bsdf(
                 sp, attrs.geometric_normal, view, light_ray.direction, settings,
-                scene.sheen_table,
+                scene.sheen_table, enable_sheen=meta.has_sheen,
             )
             ok = alive & jnp.any(l_col > 0.0, -1)
             radiance = radiance + jnp.where(
@@ -919,7 +934,7 @@ def _trace_rays(
         if bounce < settings.max_bounces:
             u3 = rand4()[..., 0:3]
             f, l_dir, pdf, is_t, use_mis = sample_bsdf(
-                sp, u3, view, settings, scene.sheen_table
+                sp, u3, view, settings, scene.sheen_table, enable_sheen=meta.has_sheen
             )
             weight = jnp.where(pdf[..., None] != 0.0, f / pdf[..., None], 0.0)
             throughput = rr_state * weight
