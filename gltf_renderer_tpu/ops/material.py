@@ -100,25 +100,23 @@ def sample_texture_row(textures, tex_id, uv, rotation, offset, scale):
     return jnp.where(present[..., None], out, jnp.ones_like(out))
 
 
-def _slot_addr(materials, mat_id, slot):
-    """Gather ONLY this slot's 7-float address block (narrow gather)."""
+def _slot_from_row(row, slot):
     b = MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * slot
-    blk = materials.rows[mat_id, b : b + MATERIAL_SLOT_STRIDE]
-    tid = _bits(blk[:, 0])
-    uvset = _bits(blk[:, 1])
-    rot = blk[:, 2]
-    off = blk[:, 3:5]
-    scl = blk[:, 5:7]
+    tid = _bits(row[:, b])
+    uvset = _bits(row[:, b + 1])
+    rot = row[:, b + 2]
+    off = row[:, b + 3 : b + 5]
+    scl = row[:, b + 5 : b + 7]
     return tid, uvset, rot, off, scl
 
 
-def slot_sample_row(materials, mat_id, textures, slot, uv0, uv1, used_slots=ALL_SLOTS):
-    """Sample one slot (narrow address gather). Static skip when the slot is
-    unused by every material in the scene."""
+def slot_sample_row(row, textures, slot, uv0, uv1, used_slots=ALL_SLOTS):
+    """Sample one slot from packed rows. Static skip when the slot is unused
+    by every material in the scene."""
     if slot not in used_slots:
         ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
         return ones, jnp.zeros(uv0.shape[:-1], bool)
-    tid, uvset, rot, off, scl = _slot_addr(materials, mat_id, slot)
+    tid, uvset, rot, off, scl = _slot_from_row(row, slot)
     uv = jnp.where((uvset == 1)[..., None], uv1, uv0)
     rgba = sample_texture_row(textures, tid, uv, rot, off, scl)
     return rgba, tid >= 0
@@ -136,17 +134,16 @@ def slot_sample(materials, textures, mat_id, slot, uv0, uv1):
     return rgba, tid >= 0
 
 
-def get_base_color_row(materials, mat_id, row_core, textures, uv0, uv1, vertex_color,
-                       used_slots=ALL_SLOTS):
-    base = row_core[:, 0:4] * vertex_color
-    rgba, _ = slot_sample_row(materials, mat_id, textures, T.TEX_ALBEDO, uv0, uv1, used_slots)
+def get_base_color_row(row, textures, uv0, uv1, vertex_color, used_slots=ALL_SLOTS):
+    base = row[:, 0:4] * vertex_color
+    rgba, _ = slot_sample_row(row, textures, T.TEX_ALBEDO, uv0, uv1, used_slots)
     return base * rgba
 
 
 def get_base_color(materials, textures, mat_id, uv0, uv1, vertex_color):
     """Material.hlsli GetBaseColor:98-106."""
-    core = materials.rows[mat_id, :MATERIAL_ROW_FACTORS]
-    return get_base_color_row(materials, mat_id, core, textures, uv0, uv1, vertex_color)
+    row = materials.rows[mat_id]
+    return get_base_color_row(row, textures, uv0, uv1, vertex_color)
 
 
 def get_alpha_row(row, base_color):
@@ -214,24 +211,15 @@ def get_surface_properties(
     shading_normal_adaptation: bool = True,
     used_slots: Tuple[int, ...] = ALL_SLOTS,
 ):
-    """Returns (SurfaceProperties, SurfaceExtras).
+    """Returns (SurfaceProperties, SurfaceExtras). One material-row gather."""
+    row = materials.rows[mat_id]
 
-    One 34-float core-row gather + one 7-float address gather per used slot
-    (narrow gathers: the material table is tiny but per-ray row width is
-    HBM traffic)."""
-    row = materials.rows[mat_id, :MATERIAL_ROW_FACTORS]
-
-    def slot(s):
-        return slot_sample_row(materials, mat_id, textures, s, uv0, uv1, used_slots)
-
-    base_color = get_base_color_row(
-        materials, mat_id, row, textures, uv0, uv1, vertex_color, used_slots
-    )
+    base_color = get_base_color_row(row, textures, uv0, uv1, vertex_color, used_slots)
     albedo = base_color[..., :3]
     alpha = get_alpha_row(row, base_color)
 
     # Shading normal (Material.hlsli GetShadingNormal:119-128).
-    nrm_s, nrm_p = slot(T.TEX_NORMAL)
+    nrm_s, nrm_p = slot_sample_row(row, textures, T.TEX_NORMAL, uv0, uv1, used_slots)
     shading_normal = _perturb_normal(
         nrm_s[..., :3], nrm_p, row[:, 12], normal,
         tangent[..., :3], bitangent, normal,
@@ -240,31 +228,31 @@ def get_surface_properties(
         shading_normal = normal_adaptation(geometric_normal, shading_normal, view)
 
     # Metalness / roughness.
-    mr_s, mr_p = slot(T.TEX_METALLIC_ROUGHNESS)
+    mr_s, mr_p = slot_sample_row(row, textures, T.TEX_METALLIC_ROUGHNESS, uv0, uv1, used_slots)
     metalness = row[:, 4] * mr_s[..., 2]
     roughness = row[:, 5] * mr_s[..., 1]
     rough2 = jnp.maximum(roughness * roughness, MINIMUM_ROUGHNESS)
 
     # Occlusion (Material.hlsli:142-150).
-    occ_s, occ_p = slot(T.TEX_OCCLUSION)
+    occ_s, occ_p = slot_sample_row(row, textures, T.TEX_OCCLUSION, uv0, uv1, used_slots)
     occlusion = jnp.where(occ_p, 1.0 + row[:, 6] * (occ_s[..., 0] - 1.0), 1.0)
 
     # Emissive.
-    em_s, _ = slot(T.TEX_EMISSIVE)
+    em_s, _ = slot_sample_row(row, textures, T.TEX_EMISSIVE, uv0, uv1, used_slots)
     emissive = row[:, 7:10] * em_s[..., :3]
 
     ior = row[:, 11]
 
-    sp_s, _ = slot(T.TEX_SPECULAR)
+    sp_s, _ = slot_sample_row(row, textures, T.TEX_SPECULAR, uv0, uv1, used_slots)
     specular_factor = row[:, 13] * sp_s[..., 3]
-    spc_s, _ = slot(T.TEX_SPECULAR_COLOR)
+    spc_s, _ = slot_sample_row(row, textures, T.TEX_SPECULAR_COLOR, uv0, uv1, used_slots)
     specular_color = row[:, 14:17] * spc_s[..., :3]
 
-    cc_s, _ = slot(T.TEX_CLEARCOAT)
+    cc_s, _ = slot_sample_row(row, textures, T.TEX_CLEARCOAT, uv0, uv1, used_slots)
     clearcoat = row[:, 17] * cc_s[..., 0]
-    ccr_s, _ = slot(T.TEX_CLEARCOAT_ROUGHNESS)
+    ccr_s, _ = slot_sample_row(row, textures, T.TEX_CLEARCOAT_ROUGHNESS, uv0, uv1, used_slots)
     clearcoat_roughness = row[:, 18] * ccr_s[..., 1]
-    ccn_s, ccn_p = slot(T.TEX_CLEARCOAT_NORMAL)
+    ccn_s, ccn_p = slot_sample_row(row, textures, T.TEX_CLEARCOAT_NORMAL, uv0, uv1, used_slots)
     clearcoat_normal = _perturb_normal(
         ccn_s[..., :3], ccn_p, row[:, 19], normal,
         tangent[..., :3], bitangent, normal,
@@ -273,7 +261,7 @@ def get_surface_properties(
         clearcoat_normal = normal_adaptation(geometric_normal, clearcoat_normal, view)
 
     # Anisotropy (Material.hlsli:245-262).
-    an_s, an_p = slot(T.TEX_ANISOTROPY)
+    an_s, an_p = slot_sample_row(row, textures, T.TEX_ANISOTROPY, uv0, uv1, used_slots)
     an_tex = jnp.where(
         an_p[..., None],
         jnp.concatenate([an_s[..., 0:2] * 2.0 - 1.0, an_s[..., 2:3]], -1),
@@ -299,16 +287,16 @@ def get_surface_properties(
         rough2 + (1.0 - rough2) * a_strength * a_strength, MINIMUM_ROUGHNESS
     )
 
-    shc_s, _ = slot(T.TEX_SHEEN_COLOR)
+    shc_s, _ = slot_sample_row(row, textures, T.TEX_SHEEN_COLOR, uv0, uv1, used_slots)
     sheen_color = row[:, 22:25] * shc_s[..., :3]
-    shr_s, _ = slot(T.TEX_SHEEN_ROUGHNESS)
+    shr_s, _ = slot_sample_row(row, textures, T.TEX_SHEEN_ROUGHNESS, uv0, uv1, used_slots)
     sheen_roughness = row[:, 25] * shr_s[..., 3]
     sheen_rough2 = jnp.maximum(sheen_roughness * sheen_roughness, MINIMUM_ROUGHNESS)
 
-    tr_s, _ = slot(T.TEX_TRANSMISSION)
+    tr_s, _ = slot_sample_row(row, textures, T.TEX_TRANSMISSION, uv0, uv1, used_slots)
     transmissive = row[:, 26] * tr_s[..., 0]
 
-    th_s, _ = slot(T.TEX_THICKNESS)
+    th_s, _ = slot_sample_row(row, textures, T.TEX_THICKNESS, uv0, uv1, used_slots)
     thickness = row[:, 27] * th_s[..., 1]
 
     if use_geometric_normals:

@@ -342,11 +342,9 @@ def _hit_base_alpha(scene: PTScene, tri, u, v):
     uv0 = jnp.where(has_uv0, w0 * r0[:, 10:12] + w1 * r1[:, 10:12] + w2 * r2[:, 10:12], 0.0)
     has_uv1 = ((fbits & TRI_HAS_UV1) != 0)[..., None]
     uv1 = jnp.where(has_uv1, w0 * r0[:, 12:14] + w1 * r1[:, 12:14] + w2 * r2[:, 12:14], 0.0)
-    from gltf_renderer_tpu.scene.types import MATERIAL_ROW_FACTORS
-
-    core = scene.materials.rows[mat, :MATERIAL_ROW_FACTORS]
-    base = get_base_color_row(scene.materials, mat, core, scene.textures, uv0, uv1, col)
-    return base[..., 3], core
+    mrow = scene.materials.rows[mat]
+    base = get_base_color_row(mrow, scene.textures, uv0, uv1, col)
+    return base[..., 3], mrow
 
 
 def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max, cull_sign=0):
@@ -675,7 +673,7 @@ def _balance_heuristic(pdf, other_pdf):
 # The tracer
 # ---------------------------------------------------------------------------
 
-RAY_CHUNK = 518400  # rays per dispatch chunk (quarter 1080p)
+RAY_CHUNK = 262144  # rays per dispatch chunk (amortizes fixed per-gather cost)
 
 
 def trace(
