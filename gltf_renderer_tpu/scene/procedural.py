@@ -102,7 +102,8 @@ def uv_sphere(n_lat=32, n_lon=64, radius=0.5):
             b = i * n_lon + (j + 1) % n_lon
             c = (i + 1) * n_lon + j
             d = (i + 1) * n_lon + (j + 1) % n_lon
-            idx += [a, c, b, b, c, d]
+            # CCW seen from outside (glTF front faces): outward normals.
+            idx += [a, b, c, b, d, c]
     return (
         np.asarray(verts, np.float32),
         np.asarray(norms, np.float32),
@@ -340,6 +341,182 @@ def write_morph_gltf(path):
         }
     ]
     doc["scenes"] = [{"nodes": [0]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_materials_gltf(path):
+    """DragonAttenuation/ToyCar-style material zoo: a transmissive+volume
+    sphere, a clearcoat sphere, a sheen sphere, and an anisotropic metal
+    sphere over an emissive-checker floor (BASELINE config 4)."""
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    doc["extensionsUsed"] = [
+        "KHR_materials_transmission", "KHR_materials_volume",
+        "KHR_materials_clearcoat", "KHR_materials_sheen",
+        "KHR_materials_anisotropy", "KHR_materials_ior",
+        "KHR_materials_emissive_strength", "KHR_materials_specular",
+    ]
+    bin_parts = []
+    sp, sn, suv, sidx = uv_sphere(24, 48)
+    isp = _acc(doc, bin_parts, sp, target=34962)
+    isn = _acc(doc, bin_parts, sn, target=34962)
+    isuv = _acc(doc, bin_parts, suv, target=34962)
+    isi = _acc(doc, bin_parts, sidx, target=34963)
+
+    # Floor quad (y = -0.5 in glTF space).
+    fp = np.asarray(
+        [[-4, -0.5, -4], [4, -0.5, -4], [4, -0.5, 4], [-4, -0.5, 4]], np.float32
+    )
+    fn = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
+    fuv = np.asarray([[0, 0], [4, 0], [4, 4], [0, 4]], np.float32)
+    fidx = np.asarray([0, 2, 1, 0, 3, 2], np.uint16)
+    ifp = _acc(doc, bin_parts, fp, target=34962)
+    ifn = _acc(doc, bin_parts, fn, target=34962)
+    ifuv = _acc(doc, bin_parts, fuv, target=34962)
+    ifi = _acc(doc, bin_parts, fidx, target=34963)
+
+    doc["materials"] = [
+        {  # 0: transmissive glass with volume attenuation
+            "pbrMetallicRoughness": {"baseColorFactor": [1, 1, 1, 1],
+                                     "metallicFactor": 0.0, "roughnessFactor": 0.05},
+            "extensions": {
+                "KHR_materials_transmission": {"transmissionFactor": 1.0},
+                "KHR_materials_volume": {"thicknessFactor": 0.5,
+                                         "attenuationDistance": 0.5,
+                                         "attenuationColor": [0.9, 0.4, 0.3]},
+                "KHR_materials_ior": {"ior": 1.5},
+            },
+        },
+        {  # 1: clearcoat car paint
+            "pbrMetallicRoughness": {"baseColorFactor": [0.6, 0.05, 0.05, 1],
+                                     "metallicFactor": 0.4, "roughnessFactor": 0.5},
+            "extensions": {
+                "KHR_materials_clearcoat": {"clearcoatFactor": 1.0,
+                                            "clearcoatRoughnessFactor": 0.05},
+            },
+        },
+        {  # 2: sheen velvet
+            "pbrMetallicRoughness": {"baseColorFactor": [0.1, 0.1, 0.4, 1],
+                                     "metallicFactor": 0.0, "roughnessFactor": 0.9},
+            "extensions": {
+                "KHR_materials_sheen": {"sheenColorFactor": [0.6, 0.5, 0.4],
+                                        "sheenRoughnessFactor": 0.5},
+            },
+        },
+        {  # 3: anisotropic brushed metal
+            "pbrMetallicRoughness": {"baseColorFactor": [0.9, 0.85, 0.7, 1],
+                                     "metallicFactor": 1.0, "roughnessFactor": 0.3},
+            "extensions": {
+                "KHR_materials_anisotropy": {"anisotropyStrength": 0.8,
+                                             "anisotropyRotation": 0.5},
+            },
+        },
+        {  # 4: emissive checker floor (flat color; emissive strength)
+            "pbrMetallicRoughness": {"baseColorFactor": [0.7, 0.7, 0.7, 1],
+                                     "metallicFactor": 0.0, "roughnessFactor": 0.9},
+            "extensions": {
+                "KHR_materials_emissive_strength": {"emissiveStrength": 0.4},
+            },
+            "emissiveFactor": [1.0, 1.0, 1.0],
+        },
+    ]
+    sphere_prim = {"attributes": {"POSITION": isp, "NORMAL": isn, "TEXCOORD_0": isuv},
+                   "indices": isi}
+    doc["meshes"] = [
+        {"primitives": [dict(sphere_prim, material=0)]},
+        {"primitives": [dict(sphere_prim, material=1)]},
+        {"primitives": [dict(sphere_prim, material=2)]},
+        {"primitives": [dict(sphere_prim, material=3)]},
+        {"primitives": [{"attributes": {"POSITION": ifp, "NORMAL": ifn, "TEXCOORD_0": ifuv},
+                         "indices": ifi, "material": 4}]},
+    ]
+    doc["nodes"] = [
+        {"mesh": 0, "translation": [-1.8, 0, 0]},
+        {"mesh": 1, "translation": [-0.6, 0, 0]},
+        {"mesh": 2, "translation": [0.6, 0, 0]},
+        {"mesh": 3, "translation": [1.8, 0, 0]},
+        {"mesh": 4},
+    ]
+    doc["scenes"] = [{"nodes": [0, 1, 2, 3, 4]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_foliage_gltf(path, tex_size=64):
+    """Sponza-foliage-style: alpha-MASKED leaf quads between a point light and
+    a floor (tests any-hit rejection + alpha shadows; BASELINE config 5)."""
+    import io
+    from PIL import Image
+
+    doc = {"asset": {"version": "2.0"}, "scene": 0, "extensionsUsed": ["KHR_lights_punctual"]}
+    bin_parts = []
+    # Leaf texture: circular alpha holes.
+    yy, xx = np.meshgrid(np.arange(tex_size), np.arange(tex_size), indexing="ij")
+    cx = tex_size / 2
+    r = np.sqrt((xx - cx) ** 2 + (yy - cx) ** 2)
+    alpha = np.where((r % 16) < 8, 255, 0).astype(np.uint8)
+    img = np.stack([np.full_like(alpha, 40), np.full_like(alpha, 160),
+                    np.full_like(alpha, 40), alpha], -1)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    # Leaf quad (vertical, XY plane).
+    lp = np.asarray([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    ln = np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1))
+    luv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    lidx = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    ilp = _acc(doc, bin_parts, lp, target=34962)
+    iln = _acc(doc, bin_parts, ln, target=34962)
+    iluv = _acc(doc, bin_parts, luv, target=34962)
+    ili = _acc(doc, bin_parts, lidx, target=34963)
+    # Floor.
+    fp = np.asarray([[-4, -2, -4], [4, -2, -4], [4, -2, 4], [-4, -2, 4]], np.float32)
+    fn = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
+    fuv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    fidx = np.asarray([0, 2, 1, 0, 3, 2], np.uint16)
+    ifp = _acc(doc, bin_parts, fp, target=34962)
+    ifn = _acc(doc, bin_parts, fn, target=34962)
+    ifuv = _acc(doc, bin_parts, fuv, target=34962)
+    ifi = _acc(doc, bin_parts, fidx, target=34963)
+
+    offset = sum(len(b) for b in bin_parts)
+    pad = (-offset) % 4
+    if pad:
+        bin_parts.append(b"\x00" * pad)
+        offset += pad
+    bin_parts.append(png)
+    doc["bufferViews"].append({"buffer": 0, "byteOffset": offset, "byteLength": len(png)})
+    doc["images"] = [{"bufferView": len(doc["bufferViews"]) - 1, "mimeType": "image/png"}]
+    doc["textures"] = [{"source": 0}]
+    doc["materials"] = [
+        {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                  "metallicFactor": 0.0, "roughnessFactor": 0.8},
+         "alphaMode": "MASK", "alphaCutoff": 0.5, "doubleSided": True},
+        {"pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.8, 0.8, 1],
+                                  "metallicFactor": 0.0, "roughnessFactor": 0.9}},
+    ]
+    doc["meshes"] = [
+        {"primitives": [{"attributes": {"POSITION": ilp, "NORMAL": iln, "TEXCOORD_0": iluv},
+                         "indices": ili, "material": 0}]},
+        {"primitives": [{"attributes": {"POSITION": ifp, "NORMAL": ifn, "TEXCOORD_0": ifuv},
+                         "indices": ifi, "material": 1}]},
+    ]
+    doc["extensions"] = {"KHR_lights_punctual": {"lights": [
+        {"type": "point", "intensity": 60.0, "color": [1, 1, 1]}
+    ]}}
+    doc["nodes"] = [
+        {"mesh": 0, "translation": [0, 0, 0]},
+        {"mesh": 1},
+        {"translation": [0, 1.5, 2.5], "extensions": {"KHR_lights_punctual": {"light": 0}}},
+    ]
+    doc["scenes"] = [{"nodes": [0, 1, 2]}]
     blob = b"".join(bin_parts)
     doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
     with open(path, "w") as f:

@@ -8,3 +8,4 @@ from gltf_renderer_tpu.scene.procedural import (  # noqa: F401
     write_skinned_gltf,
     write_morph_gltf,
 )
+from gltf_renderer_tpu.scene.procedural import write_materials_gltf, write_foliage_gltf  # noqa: F401,E501
