@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     if not args.gltf:
         print("error: --gltf is required in headless mode", file=sys.stderr)
         return 2
-    scene = renderer.load_scene(args.gltf)
+    scene = renderer.load_scene(args.gltf, scene_id=args.scene_index)
     logging.info(
         "loaded %s: %d nodes, %d prims, %d tris, %d materials, %d animations",
         scene.name, len(scene.nodes), len(scene.primitives.material),

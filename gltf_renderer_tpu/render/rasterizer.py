@@ -206,6 +206,31 @@ def shade_forward(
     return lighting, extras.base_color[..., 3], extras.alpha_cutoff, extras.alpha_mode
 
 
+def motion_vectors(
+    world, hit, px, py, prev_world_to_clip, prev_position=None, resolution=(0, 0)
+):
+    """Per-pixel motion vectors (Forward.vs/ps: CalculateMotionVector,
+    Forward.ps.hlsl:81-90): previous-frame framebuffer coords minus current
+    pixel coords, in pixels. prev_position: optional (VW, 3) previous-frame
+    world positions (skinned/animated geometry); defaults to current."""
+    w, h = resolution
+    tri_c = jnp.clip(hit.tri, 0, None)
+    trow = world.tri_rows[tri_c]
+    i0, i1, i2 = trow[:, 0], trow[:, 1], trow[:, 2]
+    pos_src = world.position if prev_position is None else prev_position
+    w0 = (1.0 - hit.u - hit.v)[..., None]
+    prev_pos = w0 * pos_src[i0] + hit.u[..., None] * pos_src[i1] + hit.v[..., None] * pos_src[i2]
+    p = jnp.concatenate([prev_pos, jnp.ones_like(prev_pos[:, :1])], -1)
+    clip = p @ prev_world_to_clip.T
+    ndc = clip[:, :3] / jnp.where(jnp.abs(clip[:, 3:4]) > 1e-8, clip[:, 3:4], 1e-8)
+    fb_x = (ndc[:, 0] + 1.0) * 0.5 * w
+    fb_y = (-ndc[:, 1] + 1.0) * 0.5 * h
+    cur_x = px.astype(jnp.float32) + 0.5
+    cur_y = py.astype(jnp.float32) + 0.5
+    mv = jnp.stack([fb_x - cur_x, fb_y - cur_y], -1)
+    return jnp.where((hit.tri >= 0)[:, None], mv, 0.0)
+
+
 def render(
     scene: PTScene,
     meta: PTMeta,
@@ -216,8 +241,11 @@ def render(
     resolution,
     frame,
     prev_world_to_clip=None,
+    prev_position=None,
+    with_motion: bool = False,
 ):
-    """Rasterizer::DrawScene equivalent -> (h, w, 3) HDR linear image."""
+    """Rasterizer::DrawScene equivalent -> (h, w, 3) HDR linear image
+    (+ (h, w, 2) motion vectors when with_motion)."""
     w, h = resolution
     py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     px = px.reshape(-1)
@@ -320,4 +348,12 @@ def render(
             out = out + a * (layer_rgb[i] - out)
         lit = out.reshape(h, w, 3)
 
+    if with_motion:
+        prev_c2w = prev_world_to_clip
+        if prev_c2w is None:
+            prev_c2w = jnp.linalg.inv(clip_to_world)
+        mv = motion_vectors(
+            scene.world, hit, px, py, prev_c2w, prev_position, (w, h)
+        ).reshape(h, w, 2)
+        return lit, mv
     return lit

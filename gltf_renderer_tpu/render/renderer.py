@@ -80,11 +80,13 @@ class Renderer:
 
     # -- loading -----------------------------------------------------------
 
-    def load_scene(self, path_or_scene):
-        """LoadGltf (Main.cpp:43-54)."""
+    def load_scene(self, path_or_scene, scene_id=None):
+        """LoadGltf (Main.cpp:43-54). scene_id selects a glTF scene (UI's
+        scene selector, Main.cpp:190-200); default = document default."""
         scene = path_or_scene if isinstance(path_or_scene, T.Scene) else load_gltf(path_or_scene)
         self.scene = scene
-        self._plan = flatten.build_instance_plan(scene)
+        self.scene_id = scene.default_scene if scene_id is None else scene_id
+        self._plan = flatten.build_instance_plan(scene, self.scene_id)
         self._tri_flags = flatten.plan_tri_flags(self._plan, scene.primitives)
         self._pools_dev = jax.tree.map(jnp.asarray, scene.pools)
         self._materials_dev = jax.tree.map(jnp.asarray, scene.materials)
@@ -98,6 +100,10 @@ class Renderer:
         if scene.animations:
             self.player.animation = scene.animations[0]
         return scene
+
+    def select_scene(self, scene_id: int):
+        """Re-plan for a different glTF scene (flushes derived state)."""
+        self.load_scene(self.scene, scene_id=scene_id)
 
     def select_animation(self, index: Optional[int]):
         self.player.animation = None if index is None else self.scene.animations[index]

@@ -108,3 +108,25 @@ def test_raster_alpha_blend(tmp_path):
     c = img[16, 16]
     # Both green (front, blended) and red (back) contribute.
     assert c[1] > 0.005 and c[0] > 0.005, c
+
+
+def test_raster_motion_vectors(tmp_path):
+    """Camera translation produces nonzero motion vectors on the box."""
+    import jax.numpy as jnp
+    from gltf_renderer_tpu.render.settings import RenderSettings, PathTracerParams
+
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    ptscene, meta, cam = _setup(path, env=False)
+    prev_w2c = jnp.asarray(cam.world_to_clip())
+    cam2 = Camera(y_fov=cam.y_fov, aspect_ratio=1.0, z_near=0.01)
+    cam2.world_to_view = look_at([2.2, -1.9, 1.5], [0, 0, 0])
+    res = 32
+    lit, mv = rasterizer.render(
+        ptscene, meta, RenderSettings(), PathTracerParams(),
+        jnp.asarray(cam2.clip_to_world()), jnp.asarray(cam2.position()),
+        (res, res), jnp.uint32(0), prev_world_to_clip=prev_w2c, with_motion=True,
+    )
+    mv = np.asarray(mv)
+    assert mv.shape == (res, res, 2)
+    assert np.abs(mv[16, 16]).max() > 0.1  # box pixel moved
+    assert np.abs(mv[0, 0]).max() == 0.0   # background = 0
