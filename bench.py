@@ -90,17 +90,19 @@ def main():
         )
 
     # Warmup / compile.
-    img, rays = trace_j(ptscene, c2w, jnp.uint32(0))
-    jax.block_until_ready((img, rays))
+    img, stats0 = trace_j(ptscene, c2w, jnp.uint32(0))
+    jax.block_until_ready((img, stats0))
     setup_s = time.time() - t_setup
 
     t0 = time.time()
     total_rays = 0.0
     acc = None
+    nan_count = 0.0
     for i in range(steps):
-        img, rays = trace_j(ptscene, c2w, jnp.uint32(i + 1))
+        img, stats = trace_j(ptscene, c2w, jnp.uint32(i + 1))
         acc = img if acc is None else acc + img
-        total_rays += float(rays)
+        total_rays += float(stats[0])
+        nan_count += float(stats[1])
     jax.block_until_ready(acc)
     elapsed = time.time() - t0
 
@@ -124,6 +126,7 @@ def main():
                     "setup_s": round(setup_s, 1),
                     "device": str(jax.devices()[0]),
                     "mean_radiance": float(np.asarray(acc).mean() / steps),
+                    "nan_pixels": nan_count,
                 }
             }
         ),

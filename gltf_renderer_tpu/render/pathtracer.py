@@ -704,11 +704,11 @@ def trace(
     n = px.shape[0]
 
     if n <= RAY_CHUNK:
-        color, rays = _trace_rays(
+        color, stats = _trace_rays(
             scene, meta, settings, params, clip_to_world, full_resolution, seed, px, py
         )
         if with_stats:
-            return color.reshape(h, w, 3), rays
+            return color.reshape(h, w, 3), stats
         return color.reshape(h, w, 3)
 
     n_chunks = -(-n // RAY_CHUNK)
@@ -722,10 +722,10 @@ def trace(
             scene, meta, settings, params, clip_to_world, full_resolution, seed, cpx, cpy
         )
 
-    colors, rays = jax.lax.map(chunk_fn, (px_p, py_p))
+    colors, stats = jax.lax.map(chunk_fn, (px_p, py_p))
     color = colors.reshape(-1, 3)[:n]
     if with_stats:
-        return color.reshape(h, w, 3), jnp.sum(rays)
+        return color.reshape(h, w, 3), jnp.sum(stats, 0)
     return color.reshape(h, w, 3)
 
 
@@ -982,6 +982,7 @@ def _trace_rays(
     # NaN/INF scrub + luminance clamp (RayGeneration:760-774).
     nan_mask = jnp.any(jnp.isnan(radiance), -1)
     inf_mask = jnp.any(jnp.isinf(radiance), -1)
+    nan_count = jnp.sum(nan_mask.astype(jnp.float32)) + jnp.sum(inf_mask.astype(jnp.float32))
     red = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
     radiance = jnp.where(
         nan_mask[..., None], red if settings.show_nan else jnp.zeros(3), radiance
@@ -996,7 +997,7 @@ def _trace_rays(
         )
         radiance = radiance * scale[..., None]
 
-    return radiance, ray_count
+    return radiance, jnp.stack([ray_count, nan_count])
 
 
 def _debug_channel(which, hit, attrs, sp, extras, view, alive):

@@ -77,6 +77,7 @@ class Renderer:
         self.accumulated_frames = 0
         self._last_reset_key = None
         self.frame_index = 0
+        self.stats: Dict[str, float] = {}
 
     # -- loading -----------------------------------------------------------
 
@@ -240,4 +241,10 @@ class Renderer:
 
         img = _post_step(hdr, st.tonemap, bloom_settings, jnp.uint32(self.frame_index))
         self.frame_index += 1
+        self.stats = {
+            "frame": self.frame_index,
+            "accumulated_frames": self.accumulated_frames,
+            "backend": st.backend,
+            "triangles": int(np.asarray(self._ptscene.world.tri_vertex).shape[0]),
+        }
         return np.asarray(img)
