@@ -123,15 +123,32 @@ def main(argv=None) -> int:
         radius = float(np.linalg.norm(wp - centre, axis=-1).max())
     else:
         centre, radius = np.zeros(3), 1.0
-    orbit = OrbitController(
-        centre=centre,
-        radius=args.orbit_radius if args.orbit_radius else 2.5 * radius,
-        azimuth=args.orbit_azimuth,
-        inclination=args.orbit_inclination,
-    )
-    renderer.camera.aspect_ratio = args.width / args.height
-    renderer.camera.z_near = max(1e-3, 0.01 * radius)
-    renderer.camera.world_to_view = orbit.world_to_view()
+    if args.camera is not None and scene.cameras:
+        # Use a glTF camera: world_to_view = inverse of the camera node's
+        # global transform (Main.cpp camera selection).
+        cam_def = scene.cameras[args.camera]
+        node_id = next(
+            (i for i, nd in enumerate(scene.nodes) if nd.camera == args.camera), None
+        )
+        renderer.camera.type = cam_def.type
+        renderer.camera.y_fov = cam_def.yfov
+        renderer.camera.aspect_ratio = cam_def.aspect or (args.width / args.height)
+        renderer.camera.z_near = cam_def.znear
+        renderer.camera.z_far = cam_def.zfar
+        renderer.camera.x_mag = cam_def.xmag
+        renderer.camera.y_mag = cam_def.ymag
+        if node_id is not None:
+            renderer.camera.world_to_view = np.linalg.inv(tf[node_id]).astype(np.float32)
+    else:
+        orbit = OrbitController(
+            centre=centre,
+            radius=args.orbit_radius if args.orbit_radius else 2.5 * radius,
+            azimuth=args.orbit_azimuth,
+            inclination=args.orbit_inclination,
+        )
+        renderer.camera.aspect_ratio = args.width / args.height
+        renderer.camera.z_near = max(1e-3, 0.01 * radius)
+        renderer.camera.world_to_view = orbit.world_to_view()
 
     base, ext = os.path.splitext(args.output)
     t0 = time.time()

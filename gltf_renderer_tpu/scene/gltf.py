@@ -332,6 +332,7 @@ def load_gltf(path: str) -> T.Scene:
     texloader = _TextureLoader(doc, buffers, reader, base_dir)
 
     materials = _load_materials(doc, texloader)
+    iridescence = _load_iridescence(doc)
     pools, primitives, meshes = _load_meshes(doc, reader)
     nodes, scenes, default_scene, topo = _load_nodes(doc)
     skins = _load_skins(doc, reader)
@@ -353,6 +354,7 @@ def load_gltf(path: str) -> T.Scene:
         skins=skins,
         animations=animations,
         cameras=cameras,
+        iridescence=iridescence,
         topo_order=topo,
         name=os.path.basename(path),
     )
@@ -798,6 +800,25 @@ def _load_animations(doc: dict, reader: _Reader) -> List[T.Animation]:
             )
         anims.append(T.Animation(name=an.get("name", f"animation_{len(anims)}"), channels=channels))
     return anims
+
+
+def _load_iridescence(doc: dict) -> List[T.IridescenceParams]:
+    """Parse KHR_materials_iridescence per material (index 0 = default).
+
+    Parity with Gltf.cpp:571-584 — parsed and stored but unused by shading
+    (the reference's Material.hlsli has no iridescence either)."""
+    out = [T.IridescenceParams()]
+    for mat in doc.get("materials", []):
+        e = mat.get("extensions", {}).get("KHR_materials_iridescence", {})
+        out.append(
+            T.IridescenceParams(
+                factor=e.get("iridescenceFactor", 0.0),
+                ior=e.get("iridescenceIor", 1.3),
+                thickness_minimum=e.get("iridescenceThicknessMinimum", 100.0),
+                thickness_maximum=e.get("iridescenceThicknessMaximum", 400.0),
+            )
+        )
+    return out
 
 
 def _load_cameras(doc: dict) -> List[T.CameraDef]:

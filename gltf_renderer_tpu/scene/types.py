@@ -318,6 +318,17 @@ class Animation:
 
 
 @dataclasses.dataclass
+class IridescenceParams:
+    """KHR_materials_iridescence — parsed like the reference (Gltf.cpp:571-584)
+    but not consumed by either backend (Material.hlsli has no iridescence)."""
+
+    factor: float = 0.0
+    ior: float = 1.3
+    thickness_minimum: float = 100.0
+    thickness_maximum: float = 400.0
+
+
+@dataclasses.dataclass
 class CameraDef:
     type: str = "perspective"   # or "orthographic"
     yfov: float = 1.0
@@ -354,6 +365,7 @@ class Scene:
     skins: List[Skin] = dataclasses.field(default_factory=list)
     animations: List[Animation] = dataclasses.field(default_factory=list)
     cameras: List[CameraDef] = dataclasses.field(default_factory=list)
+    iridescence: List[IridescenceParams] = dataclasses.field(default_factory=list)
     topo_order: np.ndarray = None    # (N,) node ids, parents before children
     name: str = ""
 
