@@ -1,0 +1,278 @@
+"""Tile-binned software rasterizer (Pallas TPU kernel).
+
+The reference's ForwardPass vertex/raster stage (Forward.vs.hlsl + the
+hardware rasterizer) mapped to TPU:
+
+  1. XLA: transform all world vertices to clip space, build per-triangle
+     setup rows (screen coords, 1/w, reversed-Z depths, id/flags).
+  2. Host: bin triangles into screen tiles (vectorized numpy CSR — the
+     analogue of the reference's CPU draw-call binning, Rasterizer.cpp:74-113).
+  3. Pallas: one grid step per SCREEN TILE (TILE_H x TILE_W pixels = one VPU
+     register block). The tile's triangle list arrives via scalar prefetch;
+     each triangle is one scalar row load + full-width edge-function /
+     depth-test update. Reversed-Z GREATER depth test (Rasterizer.h:59).
+
+Outputs a visibility G-buffer (tri id, depth, perspective-correct u, v) that
+feeds the same shade_forward used by the ray-cast path. Triangles crossing
+the near plane are dropped (no clipping yet — documented).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+SETUP_WIDTH = 16
+
+
+class RasterSetup(NamedTuple):
+    rows: jnp.ndarray      # (T, 16) f32 triangle setup rows (geometry)
+    rows_i: jnp.ndarray    # (T, 8) i32 rows: [tri_id, flags, 0...]
+    valid: np.ndarray      # (T,) bool host mask (w>eps, non-degenerate)
+    screen_aabb: np.ndarray  # (T, 4) host float [x0, y0, x1, y1]
+
+
+def build_setup(world_position, tri_vertex, world_to_clip, width, height,
+                double_sided=None):
+    """XLA stage 1: clip transform + setup rows.
+
+    Returns device rows plus host-side data for binning. Row layout:
+    [x0, y0, x1, y1, x2, y2, z0, z1, z2, iw0, iw1, iw2, bitcast(id),
+     bitcast(flags), 0, 0] where z is reversed-Z NDC depth, iw = 1/clip_w.
+    """
+    p = jnp.concatenate(
+        [world_position, jnp.ones_like(world_position[:, :1])], axis=1
+    )
+    clip = p @ world_to_clip.T                      # (V, 4)
+    w = clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = clip[:, :3] / safe_w[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * width
+    sy = (-ndc[:, 1] + 1.0) * 0.5 * height
+    sz = ndc[:, 2]
+    iw = 1.0 / safe_w
+
+    i0, i1, i2 = tri_vertex[:, 0], tri_vertex[:, 1], tri_vertex[:, 2]
+    t = tri_vertex.shape[0]
+    ids = jnp.arange(t, dtype=jnp.int32)
+    flags = (
+        double_sided.astype(jnp.int32)
+        if double_sided is not None
+        else jnp.zeros(t, jnp.int32)
+    )
+    zf = jnp.zeros(t, jnp.float32)
+    rows = jnp.stack(
+        [
+            sx[i0], sy[i0], sx[i1], sy[i1], sx[i2], sy[i2],
+            sz[i0], sz[i1], sz[i2],
+            iw[i0], iw[i1], iw[i2],
+            zf, zf, zf, zf,
+        ],
+        axis=1,
+    )
+    zi = jnp.zeros(t, jnp.int32)
+    rows_i = jnp.stack([ids, flags, zi, zi, zi, zi, zi, zi], axis=1)
+    # Host-side data for binning.
+    w_np = np.asarray(w)
+    sx_np, sy_np = np.asarray(sx), np.asarray(sy)
+    valid = (w_np[np.asarray(i0)] > 1e-6) & (w_np[np.asarray(i1)] > 1e-6) & (
+        w_np[np.asarray(i2)] > 1e-6
+    )
+    x_all = np.stack([sx_np[np.asarray(i0)], sx_np[np.asarray(i1)], sx_np[np.asarray(i2)]], 1)
+    y_all = np.stack([sy_np[np.asarray(i0)], sy_np[np.asarray(i1)], sy_np[np.asarray(i2)]], 1)
+    aabb = np.stack(
+        [x_all.min(1), y_all.min(1), x_all.max(1), y_all.max(1)], 1
+    ).astype(np.float32)
+    return RasterSetup(rows=rows, rows_i=rows_i, valid=valid, screen_aabb=aabb)
+
+
+def bin_triangles(setup: RasterSetup, width, height, cull: bool = True):
+    """Host stage 2: CSR tile lists. Returns (flat_ids, offsets) numpy."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    aabb = setup.screen_aabb
+    valid = setup.valid.copy()
+    # Degenerate/offscreen rejection.
+    valid &= (aabb[:, 2] >= 0) & (aabb[:, 0] < width)
+    valid &= (aabb[:, 3] >= 0) & (aabb[:, 1] < height)
+
+    tx0 = np.clip((aabb[:, 0] // TILE_W).astype(np.int64), 0, tiles_x - 1)
+    tx1 = np.clip((aabb[:, 2] // TILE_W).astype(np.int64), 0, tiles_x - 1)
+    ty0 = np.clip((aabb[:, 1] // TILE_H).astype(np.int64), 0, tiles_y - 1)
+    ty1 = np.clip((aabb[:, 3] // TILE_H).astype(np.int64), 0, tiles_y - 1)
+    nx = np.where(valid, tx1 - tx0 + 1, 0)
+    ny = np.where(valid, ty1 - ty0 + 1, 0)
+    counts = nx * ny
+    total = int(counts.sum())
+    tri_rep = np.repeat(np.arange(len(counts)), counts)
+    # Per-pair local tile offset.
+    local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    nx_rep = np.repeat(nx, counts)
+    lx = local % np.maximum(nx_rep, 1)
+    ly = local // np.maximum(nx_rep, 1)
+    tile_x = np.repeat(tx0, counts) + lx
+    tile_y = np.repeat(ty0, counts) + ly
+    tile_id = tile_y * tiles_x + tile_x
+
+    order = np.argsort(tile_id, kind="stable")
+    flat = tri_rep[order].astype(np.int32)
+    tid_sorted = tile_id[order]
+    n_tiles = tiles_x * tiles_y
+    offsets = np.zeros(n_tiles + 1, np.int64)
+    np.add.at(offsets, tid_sorted + 1, 1)
+    offsets = np.cumsum(offsets)
+    return flat, offsets.astype(np.int32), (tiles_x, tiles_y)
+
+
+def _raster_kernel(counts_ref, starts_ref, list_ref, rows_ref, rows_i_ref,
+                   z_ref, tri_ref, u_ref, v_ref, *, cull_sign: int):
+    tile = pl.program_id(0)
+    tiles_x = counts_ref[0]  # packed: [tiles_x, n_tiles]; see caller
+    tile_x = tile % tiles_x
+    tile_y = tile // tiles_x
+    x0 = (tile_x * TILE_W).astype(jnp.float32)
+    y0 = (tile_y * TILE_H).astype(jnp.float32)
+
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + 0.5
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + 0.5
+
+    start = starts_ref[tile]
+    count = starts_ref[tile + 1] - start
+
+    def body(k, state):
+        zb, trib, ub, vb = state
+        tri_slot = list_ref[start + k]
+        r = rows_ref[tri_slot, :]
+        ax, ay, bx, by, cx, cy = r[0], r[1], r[2], r[3], r[4], r[5]
+        z0, z1, z2 = r[6], r[7], r[8]
+        iw0, iw1, iw2 = r[9], r[10], r[11]
+        ri = rows_i_ref[tri_slot, :]
+        word = ri[0]
+        flags = ri[1]
+
+        # Edge functions (signed areas). Screen space has y down; glTF CCW
+        # front faces project to CW -> area < 0 for front faces.
+        # NOTE: all conditionals run in the (TILE_H, TILE_W) vector domain —
+        # Mosaic cannot legalize scalar selects.
+        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)   # opposite v0
+        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)   # opposite v1
+        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)   # opposite v2
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        area_b = jnp.zeros((TILE_H, TILE_W), jnp.float32) + area
+
+        is_back = area_b > 0.0
+        inside_neg = (e0 <= 0.0) & (e1 <= 0.0) & (e2 <= 0.0)
+        inside_pos = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        # No select on i1 vectors (Mosaic can't truncate to i1): logical mix.
+        inside = (is_back & inside_pos) | (jnp.logical_not(is_back) & inside_neg)
+        if cull_sign:
+            # +1: cull back faces unless double-sided (flags bit 0).
+            ds_b = (jnp.zeros((TILE_H, TILE_W), jnp.int32) + (flags & 1)) != 0
+            side = is_back if cull_sign > 0 else jnp.logical_not(is_back)
+            culled = jnp.logical_and(side, jnp.logical_not(ds_b))
+            inside = jnp.logical_and(inside, jnp.logical_not(culled))
+
+        inv_area = jnp.where(jnp.abs(area_b) > 1e-12, 1.0 / area_b, 0.0)
+        l0 = e0 * inv_area
+        l1 = e1 * inv_area
+        l2 = e2 * inv_area
+        # Reversed-Z depth at pixel (linear in screen space).
+        z = l0 * z0 + l1 * z1 + l2 * z2
+        # Perspective-correct barycentrics for attributes.
+        pw0 = l0 * iw0
+        pw1 = l1 * iw1
+        pw2 = l2 * iw2
+        denom = pw0 + pw1 + pw2
+        inv_denom = jnp.where(jnp.abs(denom) > 1e-20, 1.0 / denom, 0.0)
+        u = pw1 * inv_denom
+        v = pw2 * inv_denom
+
+        take = inside & (z > zb) & (z <= 1.0) & (z >= 0.0) & (jnp.abs(area_b) > 1e-12)
+        zb = jnp.where(take, z, zb)
+        trib = jnp.where(take, word, trib)
+        ub = jnp.where(take, u, ub)
+        vb = jnp.where(take, v, vb)
+        return zb, trib, ub, vb
+
+    init = (
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),          # reversed-Z clear=0
+        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+    )
+    zb, trib, ub, vb = jax.lax.fori_loop(0, count, body, init)
+    z_ref[:, :] = zb
+    tri_ref[:, :] = trib
+    u_ref[:, :] = ub
+    v_ref[:, :] = vb
+
+
+@functools.partial(jax.jit, static_argnames=("tiles", "cull_sign", "interpret"))
+def rasterize_tiles(rows, rows_i, flat_list, offsets, tiles: Tuple[int, int],
+                    cull_sign: int = 1, interpret: bool = False):
+    """Pallas stage 3. Returns (z, tri, u, v) of shape (tiles_y*8, tiles_x*128)."""
+    tiles_x, tiles_y = tiles
+    n_tiles = tiles_x * tiles_y
+    meta = jnp.asarray([tiles_x, n_tiles], jnp.int32)
+
+    grid = (n_tiles,)
+    out_block = pl.BlockSpec((TILE_H, TILE_W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # meta, offsets, flat triangle list
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,  # rows, rows_i
+        out_specs=[out_block] * 4,
+    )
+    kernel = functools.partial(_raster_kernel, cull_sign=cull_sign)
+    z, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, offsets, flat_list, rows, rows_i)
+
+    # Untile: (n_tiles*8, 128) -> (tiles_y, 8, tiles_x, 128) -> (H, W).
+    def untile(a):
+        return (
+            a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(tiles_y * TILE_H, tiles_x * TILE_W)
+        )
+
+    return untile(z), untile(tri), untile(u), untile(v)
+
+
+def rasterize(world_position, tri_vertex, world_to_clip, width, height,
+              double_sided=None, cull_backfaces: bool = True, interpret: bool = False):
+    """Full pipeline -> (z, tri, u, v) cropped to (height, width)."""
+    setup = build_setup(
+        world_position, tri_vertex, world_to_clip, width, height, double_sided
+    )
+    flat, offsets, tiles = bin_triangles(setup, width, height)
+    if len(flat) == 0:
+        flat = np.zeros(1, np.int32)
+    z, tri, u, v = rasterize_tiles(
+        setup.rows, setup.rows_i, jnp.asarray(flat), jnp.asarray(offsets), tiles,
+        cull_sign=1 if cull_backfaces else 0, interpret=interpret,
+    )
+    return (
+        z[:height, :width],
+        tri[:height, :width],
+        u[:height, :width],
+        v[:height, :width],
+    )

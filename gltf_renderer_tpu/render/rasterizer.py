@@ -243,9 +243,16 @@ def render(
     prev_world_to_clip=None,
     prev_position=None,
     with_motion: bool = False,
+    visibility: str = "raycast",
 ):
     """Rasterizer::DrawScene equivalent -> (h, w, 3) HDR linear image
-    (+ (h, w, 2) motion vectors when with_motion)."""
+    (+ (h, w, 2) motion vectors when with_motion).
+
+    visibility: "raycast" (BVH primary rays — z-buffer-identical for opaque,
+    currently faster) or "tiled" (the Pallas tile-binned rasterizer kernel,
+    ops/pallas_raster — true edge-function rasterization; alpha-masked
+    materials and blended layers still use ray queries).
+    """
     w, h = resolution
     py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     px = px.reshape(-1)
@@ -269,9 +276,47 @@ def render(
     # re-tracing past it like the PT any-hit).
     from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry, closest_hit
 
-    hit = closest_hit(
-        scene, meta, origin, direction, t_min, t_max, blend_mode=bvh_ops.BLEND_EXCLUDE,
-    )
+    if visibility == "tiled" and not meta.has_masked:
+        from gltf_renderer_tpu.ops import pallas_raster as _pr
+
+        world_to_clip = jnp.linalg.inv(clip_to_world)
+        zb, tri_b, u_b, v_b = _pr.rasterize(
+            scene.world.position, scene.world.tri_vertex, world_to_clip, w, h,
+            double_sided=scene.world.tri_double_sided,
+        )
+        # Exclude blended/transmissive triangles from the opaque buffer.
+        tri_flat = tri_b.reshape(-1)
+        u_flat = u_b.reshape(-1)
+        v_flat = v_b.reshape(-1)
+        tri_c = jnp.clip(tri_flat, 0, None)
+        is_blend = (
+            (scene.world.tri_alpha_mode[tri_c] == T.ALPHA_MODE_BLEND)
+            | (scene.materials.transmission_factor[scene.world.tri_material[tri_c]] > 0.0)
+        )
+        keep = (tri_flat >= 0) & (~is_blend)
+        tri_flat = jnp.where(keep, tri_flat, -1)
+        # Reconstruct ray t (world distance / |dir|) so the blend pass can
+        # composite against the opaque depth.
+        tv = scene.world.tri_vertex[jnp.clip(tri_flat, 0, None)]
+        p0 = scene.world.position[tv[:, 0]]
+        p1 = scene.world.position[tv[:, 1]]
+        p2 = scene.world.position[tv[:, 2]]
+        wpos = (
+            (1.0 - u_flat - v_flat)[:, None] * p0
+            + u_flat[:, None] * p1
+            + v_flat[:, None] * p2
+        )
+        dist = jnp.linalg.norm(wpos - origin, axis=-1)
+        hit = bvh_ops.Hit(
+            t=jnp.where(keep, dist, t_max),
+            tri=tri_flat,
+            u=u_flat,
+            v=v_flat,
+        )
+    else:
+        hit = closest_hit(
+            scene, meta, origin, direction, t_min, t_max, blend_mode=bvh_ops.BLEND_EXCLUDE,
+        )
     if meta.has_masked:
         def cond(state):
             retry, _h, it = state

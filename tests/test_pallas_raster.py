@@ -1,0 +1,143 @@
+"""Tile-binned Pallas rasterizer vs ray-cast visibility (ground truth)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gltf_renderer_tpu.ops import bvh as bvh_ops
+from gltf_renderer_tpu.ops import pallas_raster as pr
+from gltf_renderer_tpu.render import pathtracer as pt
+from gltf_renderer_tpu.render import settings as S
+from gltf_renderer_tpu.scene import flatten
+from gltf_renderer_tpu.scene.gltf import load_gltf
+from gltf_renderer_tpu.camera import Camera, look_at
+from tests.scenes import write_box_gltf
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r") / "box.gltf")
+    write_box_gltf(path)
+    scene = load_gltf(path)
+    tf = flatten.compute_global_transforms(scene)
+    plan = flatten.build_instance_plan(scene)
+    tri_flags = flatten.plan_tri_flags(plan, scene.primitives)
+    pools = jax.tree.map(jnp.asarray, scene.pools)
+    world = flatten.build_world_geometry(
+        pools, plan, jnp.asarray(tf), jnp.asarray(flatten.normal_transforms(tf)), tri_flags
+    )
+    lights = flatten.gather_lights(scene, tf)
+    ptscene, meta = pt.make_pt_scene(
+        world, jax.tree.map(jnp.asarray, scene.materials),
+        jax.tree.map(jnp.asarray, scene.textures), jax.tree.map(jnp.asarray, lights),
+    )
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=2.0, z_near=0.05)
+    cam.world_to_view = look_at([2.0, -2.0, 1.5], [0, 0, 0])
+    return world, ptscene, meta, cam
+
+
+def _raycast_vis(ptscene, meta, cam, w, h):
+    py, px = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(px.reshape(-1))
+    py = jnp.asarray(py.reshape(-1))
+    zero_jitter = jnp.zeros((px.shape[0], 2), jnp.float32)
+    o, dr = pt.generate_camera_rays(px, py, (w, h), jnp.asarray(cam.clip_to_world()), zero_jitter)
+    rl = jnp.sqrt((dr**2).sum(-1))
+    d = dr / rl[:, None]
+    hit = pt.closest_hit(
+        ptscene, meta, o, d, jnp.zeros(px.shape[0]), rl, cull_sign=1
+    )
+    return (
+        np.asarray(hit.tri).reshape(h, w),
+        np.asarray(hit.u).reshape(h, w),
+        np.asarray(hit.v).reshape(h, w),
+    )
+
+
+def test_rasterizer_matches_raycast(setup):
+    world, ptscene, meta, cam = setup
+    w, h = 256, 128
+    z, tri, u, v = pr.rasterize(
+        world.position, world.tri_vertex, jnp.asarray(cam.world_to_clip()), w, h,
+        double_sided=world.tri_double_sided, interpret=True,
+    )
+    tri = np.asarray(tri)
+    rc_tri, rc_u, rc_v = _raycast_vis(ptscene, meta, cam, w, h)
+
+    cover_r = tri >= 0
+    cover_c = rc_tri >= 0
+    # Coverage agrees except along edges (different fill rules / fp).
+    disagree = (cover_r != cover_c).sum()
+    assert disagree < 0.01 * w * h, disagree
+    both = cover_r & cover_c
+    # Same triangle chosen on interior pixels (edge pixels may differ).
+    same_tri = (tri[both] == rc_tri[both]).mean()
+    assert same_tri > 0.98, same_tri
+    # Barycentrics agree where the same triangle was hit.
+    m = both & (tri == rc_tri)
+    du = np.abs(np.asarray(u)[m] - rc_u[m])
+    dv = np.abs(np.asarray(v)[m] - rc_v[m])
+    assert np.percentile(du, 99) < 1e-2
+    assert np.percentile(dv, 99) < 1e-2
+    # Depth is reversed-Z in (0, 1] on covered pixels.
+    zc = np.asarray(z)[both]
+    assert zc.min() > 0.0 and zc.max() <= 1.0
+
+
+def test_rasterizer_depth_order(setup):
+    """Two boxes: the nearer one must win the z-test."""
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "two.gltf")
+        write_box_gltf(path, double_box=True)  # second box at +x
+        scene = load_gltf(path)
+        tf = flatten.compute_global_transforms(scene)
+        plan = flatten.build_instance_plan(scene)
+        tri_flags = flatten.plan_tri_flags(plan, scene.primitives)
+        pools = jax.tree.map(jnp.asarray, scene.pools)
+        world = flatten.build_world_geometry(
+            pools, plan, jnp.asarray(tf), jnp.asarray(flatten.normal_transforms(tf)),
+            tri_flags,
+        )
+        cam = Camera(y_fov=np.pi / 3, aspect_ratio=1.0, z_near=0.05)
+        # Look along +x so box 2 (at world x=+1.5) is behind box 1.
+        cam.world_to_view = look_at([-3.0, 0.0, 0.0], [1.0, 0.0, 0.0])
+        w = h = 128
+        z, tri, u, v = pr.rasterize(
+            world.position, world.tri_vertex, jnp.asarray(cam.world_to_clip()), w, h,
+            interpret=True,
+        )
+        tri = np.asarray(tri)
+        centre_tri = tri[64, 64]
+        assert centre_tri >= 0
+        # Box 1 triangles are ids 0..11 (first instance).
+        assert centre_tri < 12, centre_tri
+
+
+def test_raster_backend_tiled_visibility(setup):
+    """Full raster backend with the tiled visibility path matches raycast."""
+    from gltf_renderer_tpu.render import rasterizer as rz
+    from gltf_renderer_tpu.render import settings as S2
+    import gltf_renderer_tpu.ops.pallas_raster as prmod
+    import functools
+
+    world, ptscene, meta, cam = setup
+    # Force interpret mode for the kernel on CPU.
+    orig = prmod.rasterize
+    prmod.rasterize = functools.partial(orig, interpret=True)
+    try:
+        kwargs = dict(
+            render_settings=S2.RenderSettings(), params=S2.PathTracerParams(),
+            clip_to_world=jnp.asarray(cam.clip_to_world()),
+            camera_pos=jnp.asarray(cam.position()),
+            resolution=(64, 32), frame=jnp.uint32(0),
+        )
+        img_rc = np.asarray(rz.render(ptscene, meta, visibility="raycast", **kwargs))
+        img_tl = np.asarray(rz.render(ptscene, meta, visibility="tiled", **kwargs))
+    finally:
+        prmod.rasterize = orig
+    # Identical shading given identical visibility; only edge pixels differ.
+    diff = np.abs(img_rc - img_tl).max(-1)
+    assert (diff > 1e-3).mean() < 0.02, (diff > 1e-3).mean()
