@@ -772,7 +772,8 @@ def trace_chunked(
         rays_total.append(rays)
     color = jnp.concatenate(outs, 0)[:n].reshape(h, w, 3)
     if with_stats:
-        return color, jnp.sum(jnp.stack(rays_total))
+        # Each per-chunk stats vector is [ray_count, nan_count].
+        return color, jnp.sum(jnp.stack(rays_total), 0)
     return color
 
 
