@@ -129,13 +129,22 @@ def bin_triangles(setup: RasterSetup, width, height, cull: bool = True):
     offsets = np.zeros(n_tiles + 1, np.int64)
     np.add.at(offsets, tid_sorted + 1, 1)
     offsets = np.cumsum(offsets)
-    return flat, offsets.astype(np.int32), (tiles_x, tiles_y)
+    # Nonempty tiles only — empty tiles never enter the kernel grid. Padded
+    # to a power of two so the kernel shape (and compile) is stable across
+    # frames; padding entries point past the grid and are dropped on scatter.
+    counts_per_tile = np.diff(offsets)
+    nonempty = np.nonzero(counts_per_tile)[0].astype(np.int32)
+    k = max(1, int(2 ** np.ceil(np.log2(max(len(nonempty), 1)))))
+    tile_ids = np.full(k, n_tiles, np.int32)
+    tile_ids[: len(nonempty)] = nonempty
+    return flat, offsets.astype(np.int32), tile_ids, (tiles_x, tiles_y)
 
 
-def _raster_kernel(counts_ref, starts_ref, list_ref, rows_ref, rows_i_ref,
+def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, rows_i_ref,
                    z_ref, tri_ref, u_ref, v_ref, *, cull_sign: int):
-    tile = pl.program_id(0)
-    tiles_x = counts_ref[0]  # packed: [tiles_x, n_tiles]; see caller
+    tiles_x = counts_ref[0]  # packed: [tiles_x, n_tiles]
+    n_tiles = counts_ref[1]
+    tile = jnp.minimum(tile_ids_ref[pl.program_id(0)], n_tiles - 1)
     tile_x = tile % tiles_x
     tile_y = tile // tiles_x
     x0 = (tile_x * TILE_W).astype(jnp.float32)
@@ -216,45 +225,56 @@ def _raster_kernel(counts_ref, starts_ref, list_ref, rows_ref, rows_i_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tiles", "cull_sign", "interpret"))
-def rasterize_tiles(rows, rows_i, flat_list, offsets, tiles: Tuple[int, int],
+def rasterize_tiles(rows, rows_i, flat_list, offsets, tile_ids, tiles: Tuple[int, int],
                     cull_sign: int = 1, interpret: bool = False):
-    """Pallas stage 3. Returns (z, tri, u, v) of shape (tiles_y*8, tiles_x*128)."""
+    """Pallas stage 3. Grid runs over NONEMPTY tiles only (compact outputs
+    scattered back). Returns (z, tri, u, v) of shape (tiles_y*8, tiles_x*128)."""
     tiles_x, tiles_y = tiles
     n_tiles = tiles_x * tiles_y
+    k = tile_ids.shape[0]
     meta = jnp.asarray([tiles_x, n_tiles], jnp.int32)
 
-    grid = (n_tiles,)
+    grid = (k,)
     out_block = pl.BlockSpec((TILE_H, TILE_W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((k * TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((k * TILE_H, TILE_W), jnp.int32),
+        jax.ShapeDtypeStruct((k * TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((k * TILE_H, TILE_W), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # meta, offsets, flat triangle list
+        num_scalar_prefetch=4,   # meta, offsets, flat triangle list, tile ids
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,  # rows, rows_i
         out_specs=[out_block] * 4,
     )
     kernel = functools.partial(_raster_kernel, cull_sign=cull_sign)
-    z, tri, u, v = pl.pallas_call(
+    z_c, tri_c, u_c, v_c = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(meta, offsets, flat_list, rows, rows_i)
+    )(meta, offsets, flat_list, tile_ids, rows, rows_i)
 
-    # Untile: (n_tiles*8, 128) -> (tiles_y, 8, tiles_x, 128) -> (H, W).
-    def untile(a):
+    # Scatter compact tiles into the full image (padding ids >= n_tiles drop).
+    def scatter(compact, clear, dtype):
+        full = jnp.full((n_tiles, TILE_H, TILE_W), clear, dtype)
+        full = full.at[tile_ids].set(
+            compact.reshape(k, TILE_H, TILE_W), mode="drop"
+        )
         return (
-            a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+            full.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
             .transpose(0, 2, 1, 3)
             .reshape(tiles_y * TILE_H, tiles_x * TILE_W)
         )
 
-    return untile(z), untile(tri), untile(u), untile(v)
+    return (
+        scatter(z_c, 0.0, jnp.float32),
+        scatter(tri_c, -1, jnp.int32),
+        scatter(u_c, 0.0, jnp.float32),
+        scatter(v_c, 0.0, jnp.float32),
+    )
 
 
 def rasterize(world_position, tri_vertex, world_to_clip, width, height,
@@ -263,11 +283,12 @@ def rasterize(world_position, tri_vertex, world_to_clip, width, height,
     setup = build_setup(
         world_position, tri_vertex, world_to_clip, width, height, double_sided
     )
-    flat, offsets, tiles = bin_triangles(setup, width, height)
+    flat, offsets, tile_ids, tiles = bin_triangles(setup, width, height)
     if len(flat) == 0:
         flat = np.zeros(1, np.int32)
     z, tri, u, v = rasterize_tiles(
-        setup.rows, setup.rows_i, jnp.asarray(flat), jnp.asarray(offsets), tiles,
+        setup.rows, setup.rows_i, jnp.asarray(flat), jnp.asarray(offsets),
+        jnp.asarray(tile_ids), tiles,
         cull_sign=1 if cull_backfaces else 0, interpret=interpret,
     )
     return (
