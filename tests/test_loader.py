@@ -83,3 +83,73 @@ def test_load_morph(tmp_path):
     assert scene.primitives.morph_count[0] == 1
     assert scene.pools.morph_pos.shape == (24, 3)
     assert scene.meshes[0].weights is not None
+
+
+def test_sparse_accessor(tmp_path):
+    """Sparse POSITION accessor overrides base values (TinyGltfTools parity)."""
+    import base64, json
+    import numpy as np
+
+    base = np.zeros((6, 3), np.float32)
+    blob = base.tobytes()                                  # 72 bytes
+    idx = np.asarray([1, 3], np.uint16).tobytes()          # 4 bytes
+    vals = np.asarray([[1, 2, 3], [4, 5, 6]], np.float32).tobytes()  # 24 bytes
+    blob2 = blob + idx + vals
+    doc = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "buffers": [{"byteLength": len(blob2),
+                     "uri": "data:application/octet-stream;base64," + base64.b64encode(blob2).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 72},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 4},
+            {"buffer": 0, "byteOffset": 76, "byteLength": 24},
+        ],
+        "accessors": [{
+            "bufferView": 0, "componentType": 5126, "count": 6, "type": "VEC3",
+            "sparse": {"count": 2,
+                       "indices": {"bufferView": 1, "componentType": 5123},
+                       "values": {"bufferView": 2}},
+        }],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "nodes": [{"mesh": 0}], "scenes": [{"nodes": [0]}],
+    }
+    path = str(tmp_path / "sparse.gltf")
+    json.dump(doc, open(path, "w"))
+    scene = load_gltf(path)
+    pos = np.asarray(scene.pools.positions)
+    np.testing.assert_allclose(pos[1], [1, 2, 3])
+    np.testing.assert_allclose(pos[3], [4, 5, 6])
+    np.testing.assert_allclose(pos[0], [0, 0, 0])
+
+
+def test_texture_transform_roundtrip(tmp_path):
+    """KHR_texture_transform parameters land in the material table + rows."""
+    import json
+
+    path = write_box_gltf(str(tmp_path / "b.gltf"))
+    doc = json.load(open(path))
+    # Attach a dummy texture with a transform.
+    import io, base64
+    from PIL import Image
+    import numpy as np_
+    buf = io.BytesIO()
+    Image.fromarray(np_.full((4, 4, 4), 128, np_.uint8), "RGBA").save(buf, format="PNG")
+    png = base64.b64encode(buf.getvalue()).decode()
+    doc["images"] = [{"uri": "data:image/png;base64," + png}]
+    doc["textures"] = [{"source": 0}]
+    doc.setdefault("extensionsUsed", []).append("KHR_texture_transform")
+    doc["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {
+        "index": 0,
+        "extensions": {"KHR_texture_transform": {
+            "offset": [0.25, 0.5], "scale": [2.0, 3.0], "rotation": 0.7}},
+    }
+    json.dump(doc, open(path, "w"))
+    scene = load_gltf(path)
+    m = scene.materials
+    np.testing.assert_allclose(m.tex_offset[1, T.TEX_ALBEDO], [0.25, 0.5])
+    np.testing.assert_allclose(m.tex_scale[1, T.TEX_ALBEDO], [2.0, 3.0])
+    np.testing.assert_allclose(m.tex_rotation[1, T.TEX_ALBEDO], 0.7, atol=1e-6)
+    # Packed row carries the same values.
+    b = T.MATERIAL_ROW_FACTORS + T.MATERIAL_SLOT_STRIDE * T.TEX_ALBEDO
+    np.testing.assert_allclose(m.rows[1, b + 2], 0.7, atol=1e-6)
+    np.testing.assert_allclose(m.rows[1, b + 3:b + 5], [0.25, 0.5])
