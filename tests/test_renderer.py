@@ -69,3 +69,18 @@ def test_renderer_morph_animation(tmp_path):
     img0 = r.draw_frame(delta=0.0)
     img1 = r.draw_frame(delta=1.0)  # weight 0 -> 1
     assert not np.array_equal(img0, img1)
+
+
+def test_orthographic_camera(tmp_path):
+    """Orthographic projection renders the box without perspective."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    r = _make_renderer(path, max_bounces=0)
+    r.camera.type = "orthographic"
+    r.camera.x_mag = 0.8
+    r.camera.y_mag = 0.8
+    r.camera.z_near = 0.05
+    r.camera.z_far = 10.0
+    img = r.draw_frame()
+    assert img.shape == (32, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.std() > 0  # box visible against background
