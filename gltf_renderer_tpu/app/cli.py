@@ -90,7 +90,11 @@ def main(argv=None) -> int:
     if not args.gltf:
         print("error: --gltf is required in headless mode", file=sys.stderr)
         return 2
-    scene = renderer.load_scene(args.gltf, scene_id=args.scene_index)
+    try:
+        scene = renderer.load_scene(args.gltf, scene_id=args.scene_index)
+    except (OSError, ValueError) as e:
+        print(f"error: failed to load {args.gltf}: {e}", file=sys.stderr)
+        return 1
     logging.info(
         "loaded %s: %d nodes, %d prims, %d tris, %d materials, %d animations",
         scene.name, len(scene.nodes), len(scene.primitives.material),
@@ -98,7 +102,11 @@ def main(argv=None) -> int:
         len(scene.animations),
     )
     if args.environment_map:
-        renderer.load_environment(args.environment_map)
+        try:
+            renderer.load_environment(args.environment_map)
+        except (OSError, ValueError) as e:
+            print(f"error: failed to load {args.environment_map}: {e}", file=sys.stderr)
+            return 1
 
     if args.animation is not None and scene.animations:
         renderer.select_animation(args.animation)
