@@ -134,9 +134,9 @@ def read_exr(path: str) -> np.ndarray:
     channels_sorted = sorted(channels)  # EXR stores channels alphabetically
 
     comp = attrs["compression"][1][0]
-    if comp not in (0, 2, 3):
-        raise ValueError(f"EXR compression {comp} not supported (use none/zip)")
-    lines_per_block = 1 if comp in (0, 2) else 16
+    if comp not in (0, 2, 3, 4):
+        raise ValueError(f"EXR compression {comp} not supported (none/zip/piz)")
+    lines_per_block = {0: 1, 2: 1, 3: 16, 4: 32}[comp]
 
     xmin, ymin, xmax, ymax = struct.unpack("<iiii", attrs["dataWindow"][1])
     width = xmax - xmin + 1
@@ -154,6 +154,13 @@ def read_exr(path: str) -> np.ndarray:
         raw = data[off + 8 : off + 8 + size]
         n_lines = min(lines_per_block, ymax - y + 1)
         expect = line_bytes * n_lines
+        if comp == 4 and size < expect:
+            from gltf_renderer_tpu.env.piz import piz_uncompress
+
+            chan_types = [(n_, t_) for n_, t_ in channels_sorted]
+            raw = piz_uncompress(raw, chan_types, width, n_lines)
+        elif comp == 4:
+            pass  # stored uncompressed (compression didn't help)
         if comp in (2, 3):
             raw = zlib.decompress(raw)
             # EXR zip post-process: un-delta (d[i] = d[i-1] + raw[i] - 128,

@@ -109,3 +109,24 @@ def test_ggx_and_diffuse_cubes(env):
     # Diffuse convolution preserves rough energy scale (average radiance).
     avg_env = np.asarray(env.cube[0]).mean()
     assert abs(d.mean() - avg_env) / avg_env < 0.25
+
+
+def test_exr_piz_sheen_lut():
+    """PIZ-compressed EXR decode, cross-validated against our computed
+    Charlie-sheen directional-albedo LUT (reference Resources/Sheen_E.exr)."""
+    import os
+    ref_path = "/root/reference/Resources/Sheen_E.exr"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference EXR not available")
+    from gltf_renderer_tpu.ops.bsdf import sheen_e_table
+
+    img = hdr_io.read_exr(ref_path)
+    assert img.shape == (16, 16, 1)
+    assert 0.0 <= float(img.min()) and float(img.max()) < 1.0
+    ours = sheen_e_table()
+    h, w = img.shape[:2]
+    yi = np.clip(((np.arange(h) + 0.5) / h * ours.shape[0]).astype(int), 0, ours.shape[0] - 1)
+    xi = np.clip(((np.arange(w) + 0.5) / w * ours.shape[1]).astype(int), 0, ours.shape[1] - 1)
+    ours_rs = ours[yi][:, xi]
+    corr = np.corrcoef(ours_rs.ravel(), img[..., 0].ravel())[0, 1]
+    assert corr > 0.97, corr
