@@ -39,8 +39,11 @@ log = logging.getLogger("gltf_renderer_tpu.renderer")
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 5))
 def _pt_step(ptscene, meta, settings, params, c2w, resolution, seed, accum, frames):
-    radiance = pt.trace(ptscene, meta, settings, params, c2w, resolution, seed)
-    new_accum = pt.accumulate(accum, radiance, frames, settings)
+    # named_scope = the PIX pass-marker analogue (CommandContext.cpp:4-21).
+    with jax.named_scope("path_trace_scene"):
+        radiance = pt.trace(ptscene, meta, settings, params, c2w, resolution, seed)
+    with jax.named_scope("accumulate"):
+        new_accum = pt.accumulate(accum, radiance, frames, settings)
     return new_accum
 
 
@@ -48,8 +51,10 @@ def _pt_step(ptscene, meta, settings, params, c2w, resolution, seed, accum, fram
 def _post_step(hdr, tm_settings: S.ToneMapSettings, bloom_settings, frame):
     img = hdr
     if bloom_settings is not None and bloom_settings.enabled:
-        img = bloom_op(img, bloom_settings.max_mips, bloom_settings.strength)
-    disp = tonemap(img, tm_settings.tonemapper, tm_settings.exposure, frame)
+        with jax.named_scope("bloom"):
+            img = bloom_op(img, bloom_settings.max_mips, bloom_settings.strength)
+    with jax.named_scope("tone_map"):
+        disp = tonemap(img, tm_settings.tonemapper, tm_settings.exposure, frame)
     return to_u8(disp)
 
 
@@ -191,6 +196,28 @@ class Renderer:
             id(self.env),
             self.player.time if self.player.animation else 0.0,
         )
+
+    def save_state(self, path: str):
+        """Checkpoint the progressive accumulation (SURVEY.md §5: the PT's
+        history image + accumulated_frames counter, Pathtracer.cpp:259-272 —
+        the reference cannot persist this; we can)."""
+        np.savez(
+            path,
+            accum=np.asarray(self._accum) if self._accum is not None else np.zeros(0),
+            accumulated_frames=self.accumulated_frames,
+            frame_index=self.frame_index,
+        )
+
+    def load_state(self, path: str):
+        """Resume a checkpointed progressive render (camera/scene/settings
+        must match — the reset key will clear it otherwise)."""
+        data = np.load(path)
+        accum = data["accum"]
+        self._accum = jnp.asarray(accum) if accum.size else None
+        self.accumulated_frames = int(data["accumulated_frames"])
+        self.frame_index = int(data["frame_index"])
+        # Adopt the current reset key so resuming does not clear the history.
+        self._last_reset_key = self._reset_key()
 
     def draw_frame(self, delta: float = 0.0, seed: Optional[int] = None) -> np.ndarray:
         """One frame -> (H, W, 3) u8. Progressive accumulation persists across

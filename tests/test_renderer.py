@@ -84,3 +84,21 @@ def test_orthographic_camera(tmp_path):
     assert img.shape == (32, 48, 3)
     assert np.isfinite(img).all()
     assert img.std() > 0  # box visible against background
+
+
+def test_checkpoint_resume(tmp_path):
+    """Progressive accumulation survives save/load (bit-exact continuation)."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    r1 = _make_renderer(path)
+    r1.draw_frame()
+    r1.draw_frame()
+    ckpt = str(tmp_path / "state.npz")
+    r1.save_state(ckpt)
+    expected = r1.draw_frame()  # 3rd sample
+
+    r2 = _make_renderer(path)
+    r2.draw_frame()  # prime derived state (different accumulation)
+    r2.load_state(ckpt)
+    assert r2.accumulated_frames == 2
+    resumed = r2.draw_frame()
+    np.testing.assert_array_equal(resumed, expected)
