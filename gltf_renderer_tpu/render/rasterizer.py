@@ -66,16 +66,48 @@ def _bilinear_2d(img, uv):
     ) * ty
 
 
-def build_transmission_mips(lit, n_mips: int = 6):
-    """ForwardPass::GenerateTransmissionMips — backdrop blur pyramid
-    (TransmissionDownsample.cs.hlsl, Bjørge kernel)."""
+def _jimenez_13tap(img, out_h, out_w):
+    """CoD: AW 13-tap downsample (TransmissionDownsample.cs.hlsl kernel 2)."""
+    from gltf_renderer_tpu.post.bloom import _bilinear, _uv_grid
+
+    uu, vv = _uv_grid(out_h, out_w)
+    du, dv = 1.0 / out_w, 1.0 / out_h
+    hx, hy = 0.5 * du, 0.5 * dv
+    # 4 inner taps (weight 0.5 total), center+corner ring per Jimenez 2014.
+    inner = (
+        _bilinear(img, uu - hx, vv - hy) + _bilinear(img, uu + hx, vv - hy)
+        + _bilinear(img, uu - hx, vv + hy) + _bilinear(img, uu + hx, vv + hy)
+    ) * 0.125
+    centre = _bilinear(img, uu, vv) * 0.125
+    edges = (
+        _bilinear(img, uu - du, vv) + _bilinear(img, uu + du, vv)
+        + _bilinear(img, uu, vv - dv) + _bilinear(img, uu, vv + dv)
+    ) * 0.0625
+    corners = (
+        _bilinear(img, uu - du, vv - dv) + _bilinear(img, uu + du, vv - dv)
+        + _bilinear(img, uu - du, vv + dv) + _bilinear(img, uu + du, vv + dv)
+    ) * 0.03125
+    return inner + centre + edges + corners
+
+
+def build_transmission_mips(lit, n_mips: int = 6, kernel: int = 1):
+    """ForwardPass::GenerateTransmissionMips — backdrop blur pyramid.
+
+    kernel: 0 passthrough (2x2 decimate), 1 Bjørge dual-filter 5-tap,
+    2 CoD Jimenez 13-tap (TransmissionDownsample.cs.hlsl's three kernels).
+    """
     from gltf_renderer_tpu.post.bloom import downsample
 
     mips = [lit]
     cur = lit
     for _ in range(n_mips - 1):
         h, w = max(cur.shape[0] // 2, 1), max(cur.shape[1] // 2, 1)
-        cur = downsample(cur, h, w)
+        if kernel == 0:
+            cur = cur[: h * 2 : 2, : w * 2 : 2]
+        elif kernel == 2:
+            cur = _jimenez_13tap(cur, h, w)
+        else:
+            cur = downsample(cur, h, w)
         mips.append(cur)
     return mips
 

@@ -96,9 +96,18 @@ class ToneMapSettings:
 
 @dataclasses.dataclass(frozen=True)
 class BloomSettings:
+    """Rasterizer.h:14-15 defaults: strength 0.01, radius 4."""
+
     enabled: bool = True
-    strength: float = 0.04
-    max_mips: int = 6
+    strength: float = 0.01
+    max_mips: int = 4
+
+
+# Transmission backdrop downsample kernels
+# (TransmissionDownsample.cs.hlsl selectable kernels).
+TRANSMISSION_KERNEL_PASSTHROUGH = 0
+TRANSMISSION_KERNEL_BJORGE = 1
+TRANSMISSION_KERNEL_JIMENEZ = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -102,3 +102,19 @@ def test_checkpoint_resume(tmp_path):
     assert r2.accumulated_frames == 2
     resumed = r2.draw_frame()
     np.testing.assert_array_equal(resumed, expected)
+
+
+def test_free_controller():
+    """FreeController fly-cam: moving forward shrinks distance to target."""
+    from gltf_renderer_tpu.camera import FreeController
+
+    fc = FreeController(position=np.asarray([0.0, -5.0, 0.0], np.float32))
+    w2v0 = fc.world_to_view()
+    # Looking along +y (world forward for azimuth 0): origin is 5 in front.
+    p = w2v0 @ np.asarray([0, 0, 0, 1.0], np.float32)
+    d0 = -p[2]  # view-space forward distance
+    fc.move(forward=1.0, right=0.0, up=0.0, dt=1.0)
+    p1 = fc.world_to_view() @ np.asarray([0, 0, 0, 1.0], np.float32)
+    assert -p1[2] < d0
+    fc.rotate(0.3, 0.1)
+    assert np.isfinite(fc.world_to_view()).all()
