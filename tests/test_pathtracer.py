@@ -73,15 +73,21 @@ def test_pt_deterministic(box_setup):
 
 
 def test_pt_debug_outputs(box_setup):
+    """All 28 debug output channels (PathTracer.lib.hlsl:43-72) render
+    finite, non-empty images."""
     ptscene, meta, cam = box_setup
-    for dbg in [S.DEBUG_HIT_KIND, S.DEBUG_SHADING_NORMAL, S.DEBUG_COLOR,
-                S.DEBUG_ROUGHNESS, S.DEBUG_BOUNCE_DIRECTION]:
+    # Channels legitimately all-zero for the box scene (no uv1 set, metalness
+    # 0, clearcoat 0, transmission 0).
+    may_be_black = {S.DEBUG_TEXCOORD_1, S.DEBUG_METALNESS, S.DEBUG_CLEARCOAT,
+                    S.DEBUG_TRANSMISSIVE, S.DEBUG_SPECULAR}
+    for dbg in range(1, 28):
         settings = S.PathTracerSettings(
             max_bounces=1, environment_map=False, debug_output=dbg
         )
-        img = _render(ptscene, meta, cam, settings, res=32)
-        assert np.all(np.isfinite(img))
-        assert img.max() > 0  # something visible
+        img = _render(ptscene, meta, cam, settings, res=16)
+        assert np.all(np.isfinite(img)), dbg
+        if dbg not in may_be_black:
+            assert img.max() > 0, dbg  # something visible
 
 
 def test_pt_accumulation():
