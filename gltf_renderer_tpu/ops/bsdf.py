@@ -371,6 +371,8 @@ def gltf_bsdf(
     is_transmission: Optional[jnp.ndarray] = None,
     sheen_table=None,
     enable_sheen: bool = True,
+    enable_clearcoat: bool = True,
+    enable_transmission: bool = True,
 ):
     """Layered glTF BSDF evaluation.
 
@@ -406,10 +408,11 @@ def gltf_bsdf(
         ..., None
     ]
     diffuse = refl_mask[..., None] * lz_pos[..., None] * lambert_diffuse(sp.albedo)
-    transmission = trans_mask[..., None] * lz_neg[..., None] * thin_transmission_btdf(
-        sp.albedo, a[..., 1:2], sp.ior, n, v, l
-    )
-    diffuse = diffuse + sp.transmissive * (transmission - diffuse)
+    if enable_transmission:
+        transmission = trans_mask[..., None] * lz_neg[..., None] * thin_transmission_btdf(
+            sp.albedo, a[..., 1:2], sp.ior, n, v, l
+        )
+        diffuse = diffuse + sp.transmissive * (transmission - diffuse)
     dielectric = fresnel_mix(
         sp.specular_color, sp.ior, sp.specular_factor, diffuse, specular, h_dot_abs_l[..., None]
     )
@@ -426,6 +429,9 @@ def gltf_bsdf(
             material, sheen, sp.sheen_color, sheen_a, l_local[..., 2], v_local[..., 2],
             sheen_table,
         )
+
+    if not enable_clearcoat:
+        return material
 
     # Clearcoat (about the clearcoat normal, not the shading normal).
     cn = sp.clearcoat_normal

@@ -79,7 +79,10 @@ class PTMeta(NamedTuple):
     has_blend: bool = False  # any alpha-BLEND or transmissive material in use
     use_pallas: bool = False  # packet-traversal kernel (scene fits VMEM, TPU)
     used_slots: tuple = ()   # texture slots referenced by ANY material (static)
-    has_sheen: bool = True   # any material with sheen (skips LUT lookups)
+    has_sheen: bool = True   # static BSDF layer toggles — the TPU analogue of
+    has_clearcoat: bool = True   # shader permutations: layers no material in
+    has_transmission: bool = True  # the scene uses compile to nothing
+    has_alpha_layer: bool = True   # any MASK/BLEND material (alpha < 1 possible)
 
 
 # Pallas packet kernel needs nodes+records resident in VMEM (~16 MB/core).
@@ -162,13 +165,26 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         (np.asarray(materials.sheen_color_factor) > 0).any()
         or (np.asarray(materials.tex_index)[:, T.TEX_SHEEN_COLOR] >= 0).any()
     )
+    has_clearcoat = bool(
+        (np.asarray(materials.clearcoat_factor) > 0).any()
+        or (np.asarray(materials.tex_index)[:, T.TEX_CLEARCOAT] >= 0).any()
+    )
+    has_transmission = bool(
+        (np.asarray(materials.transmission_factor) > 0).any()
+        or (np.asarray(materials.tex_index)[:, T.TEX_TRANSMISSION] >= 0).any()
+    )
+    has_masked = bool((am == T.ALPHA_MODE_MASK).any())
+    has_blend_mode = bool((am == T.ALPHA_MODE_BLEND).any())
     meta = PTMeta(
         num_lights=int(len(np.asarray(lights.type))),
-        has_masked=bool((am == T.ALPHA_MODE_MASK).any()),
+        has_masked=has_masked,
         has_env=env is not None,
         has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
         used_slots=used_slots,
         has_sheen=has_sheen,
+        has_clearcoat=has_clearcoat,
+        has_transmission=has_transmission,
+        has_alpha_layer=has_masked or has_blend_mode,
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
     table_bytes = 4 * (packed.nodes.size + packed.records.size)
@@ -500,71 +516,91 @@ def _transmission_pdf(sp, v, l):
     return pdf / (4.0 * dot(v, h, keepdims=False))
 
 
-def layer_probabilities(sp: SurfaceProperties, v):
-    """PathTracer.lib.hlsl LayerProbabilities:535-553."""
-    remaining = 1.0
-    alpha_prob = 1.0 - sp.alpha[..., 0]
+def layer_probabilities(sp: SurfaceProperties, v, meta: "PTMeta" = None):
+    """PathTracer.lib.hlsl LayerProbabilities:535-553.
+
+    Layers statically absent from the scene (meta flags) get probability 0
+    with no math — identical results, fewer ops."""
+    zero = jnp.zeros(sp.alpha.shape[:-1], sp.alpha.dtype)
+    if meta is None or meta.has_alpha_layer:
+        alpha_prob = 1.0 - sp.alpha[..., 0]
+    else:
+        alpha_prob = zero
     remaining = 1.0 - alpha_prob
-    fc = fresnel_coat(
-        1.5,
-        sp.clearcoat,
-        jnp.zeros_like(sp.albedo),
-        jnp.ones_like(sp.albedo),
-        dot(sp.clearcoat_normal, v),
-    )[..., 0]
-    clearcoat_prob = fc * remaining
-    remaining = remaining - clearcoat_prob
-    sheen_prob = jnp.where(jnp.any(sp.sheen_color > 0.0, -1), 0.5, 0.0) * remaining
-    remaining = remaining - sheen_prob
+    if meta is None or meta.has_clearcoat:
+        fc = fresnel_coat(
+            1.5,
+            sp.clearcoat,
+            jnp.zeros_like(sp.albedo),
+            jnp.ones_like(sp.albedo),
+            dot(sp.clearcoat_normal, v),
+        )[..., 0]
+        clearcoat_prob = fc * remaining
+        remaining = remaining - clearcoat_prob
+    else:
+        clearcoat_prob = zero
+    if meta is None or meta.has_sheen:
+        sheen_prob = jnp.where(jnp.any(sp.sheen_color > 0.0, -1), 0.5, 0.0) * remaining
+        remaining = remaining - sheen_prob
+    else:
+        sheen_prob = zero
     specular_prob = 0.5 * remaining
     remaining = remaining - specular_prob
-    transmission_prob = sp.transmissive[..., 0] * remaining
-    remaining = remaining - transmission_prob
+    if meta is None or meta.has_transmission:
+        transmission_prob = sp.transmissive[..., 0] * remaining
+        remaining = remaining - transmission_prob
+    else:
+        transmission_prob = zero
     diffuse_prob = remaining
     return alpha_prob, clearcoat_prob, sheen_prob, specular_prob, diffuse_prob, transmission_prob
 
 
-def bsdf_pdf(sp, v, l, is_transmission, probs):
+def bsdf_pdf(sp, v, l, is_transmission, probs, meta: "PTMeta" = None):
     """PathTracer.lib.hlsl BsdfPdf:555-565 (mixture; alpha handled separately)."""
     _, cc_p, sh_p, sp_p, di_p, tr_p = probs
-    refl_pdf = (
-        cc_p * _clearcoat_pdf(sp, v, l)
-        + sh_p * sampling.cosine_hemisphere_pdf(sp.shading_normal, l)
-        + sp_p * _specular_pdf(sp, v, l)
-        + di_p * sampling.cosine_hemisphere_pdf(sp.shading_normal, l)
-    )
-    return jnp.where(is_transmission, tr_p * _transmission_pdf(sp, v, l), refl_pdf)
+    cos_pdf = sampling.cosine_hemisphere_pdf(sp.shading_normal, l)
+    refl_pdf = sp_p * _specular_pdf(sp, v, l) + di_p * cos_pdf
+    if meta is None or meta.has_clearcoat:
+        refl_pdf = refl_pdf + cc_p * _clearcoat_pdf(sp, v, l)
+    if meta is None or meta.has_sheen:
+        refl_pdf = refl_pdf + sh_p * cos_pdf
+    if meta is None or meta.has_transmission:
+        return jnp.where(is_transmission, tr_p * _transmission_pdf(sp, v, l), refl_pdf)
+    return refl_pdf
 
 
 def evaluate_bsdf(sp, geometric_normal, v, l, settings: S.PathTracerSettings, sheen_table,
-                  enable_sheen: bool = True):
+                  meta: "PTMeta" = None):
     """EvaluateBsdf (PathTracer.lib.hlsl:567-593). Returns (bsdf, pdf)."""
     if settings.material_diffuse_white:
         n_dot_l = saturate(dot(sp.shading_normal, l, keepdims=False))
         pdf = n_dot_l / PI
         return jnp.broadcast_to((n_dot_l / PI)[..., None], sp.albedo.shape), pdf
 
+    kw = dict(
+        sheen_table=sheen_table,
+        enable_sheen=meta.has_sheen if meta else True,
+        enable_clearcoat=meta.has_clearcoat if meta else True,
+        enable_transmission=meta.has_transmission if meta else True,
+    )
     if settings.material_mis:
         is_t = (
             dot(geometric_normal, l, keepdims=False)
             * dot(geometric_normal, v, keepdims=False)
         ) < 0.0
-        probs = layer_probabilities(sp, v)
-        pdf = bsdf_pdf(sp, v, l, is_t, probs)
-        f = sp.alpha * gltf_bsdf(
-            sp, v, l, is_transmission=is_t, sheen_table=sheen_table,
-            enable_sheen=enable_sheen,
-        )
+        probs = layer_probabilities(sp, v, meta)
+        pdf = bsdf_pdf(sp, v, l, is_t, probs, meta)
+        f = sp.alpha * gltf_bsdf(sp, v, l, is_transmission=is_t, **kw)
         return f, pdf
 
     n_dot_l = saturate(dot(sp.shading_normal, l, keepdims=False))
     pdf = n_dot_l / PI * sp.alpha[..., 0]
-    f = sp.alpha * gltf_bsdf(sp, v, l, sheen_table=sheen_table, enable_sheen=enable_sheen)
+    f = sp.alpha * gltf_bsdf(sp, v, l, **kw)
     return f, pdf
 
 
 def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table,
-                enable_sheen: bool = True):
+                meta: "PTMeta" = None):
     """SampleBsdf (PathTracer.lib.hlsl:595-667).
 
     Returns (bsdf, l, pdf, is_transmission, use_mis).
@@ -580,8 +616,14 @@ def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table,
         is_t = jnp.zeros(pdf.shape, bool)
         return f, l, pdf, is_t, use_mis
 
+    kw = dict(
+        sheen_table=sheen_table,
+        enable_sheen=meta.has_sheen if meta else True,
+        enable_clearcoat=meta.has_clearcoat if meta else True,
+        enable_transmission=meta.has_transmission if meta else True,
+    )
     if settings.material_mis:
-        probs = layer_probabilities(sp, v)
+        probs = layer_probabilities(sp, v, meta)
         alpha_p, cc_p, sh_p, sp_p, di_p, tr_p = probs
         u = u3[..., 0]
         u2 = u3[..., 1:3]
@@ -600,24 +642,15 @@ def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table,
 
         l_di = sampling.sample_cosine_hemisphere(sp.shading_normal, u2)
         l_sp = _sample_specular(sp, v, u2)
-        l_cc = _sample_clearcoat(sp, v, u2)
-        l_tr = _sample_transmission(sp, v, u2)
-        l = jnp.where(
-            sel_cc[..., None],
-            l_cc,
-            jnp.where(
-                sel_sp[..., None],
-                l_sp,
-                jnp.where(sel_tr[..., None], l_tr, l_di),  # sheen & diffuse cosine
-            ),
-        )
+        l = jnp.where(sel_sp[..., None], l_sp, l_di)  # sheen & diffuse cosine
+        if meta is None or meta.has_clearcoat:
+            l = jnp.where(sel_cc[..., None], _sample_clearcoat(sp, v, u2), l)
+        if meta is None or meta.has_transmission:
+            l = jnp.where(sel_tr[..., None], _sample_transmission(sp, v, u2), l)
         l = jnp.where(sel_alpha[..., None], -v, l)
         is_t = sel_tr | sel_alpha
-        pdf = bsdf_pdf(sp, v, l, sel_tr, probs)
-        f = sp.alpha * gltf_bsdf(
-            sp, v, l, is_transmission=sel_tr, sheen_table=sheen_table,
-            enable_sheen=enable_sheen,
-        )
+        pdf = bsdf_pdf(sp, v, l, sel_tr, probs, meta)
+        f = sp.alpha * gltf_bsdf(sp, v, l, is_transmission=sel_tr, **kw)
         # Alpha layer override (SampleBsdf:622-628).
         pdf = jnp.where(sel_alpha, alpha_p, pdf)
         f = jnp.where(sel_alpha[..., None], (1.0 - sp.alpha), f)
@@ -629,7 +662,7 @@ def sample_bsdf(sp, u3, v, settings: S.PathTracerSettings, sheen_table,
     n = sp.shading_normal
     l = sampling.sample_cosine_hemisphere(n, u3[..., 1:3])
     pdf = sampling.cosine_hemisphere_pdf(n, l) * sp.alpha[..., 0]
-    f = sp.alpha * gltf_bsdf(sp, v, l, sheen_table=sheen_table, enable_sheen=enable_sheen)
+    f = sp.alpha * gltf_bsdf(sp, v, l, **kw)
     l = jnp.where(pass_through[..., None], -v, l)
     pdf = jnp.where(pass_through, 1.0 - sp.alpha[..., 0], pdf)
     f = jnp.where(pass_through[..., None], 1.0 - sp.alpha, f)
@@ -899,7 +932,7 @@ def _trace_rays(
             l_col = l_col * shadow[..., None]
             f, f_pdf = evaluate_bsdf(
                 sp, attrs.geometric_normal, view, l_dir, settings, scene.sheen_table,
-                enable_sheen=meta.has_sheen,
+                meta=meta,
             )
             mis = _balance_heuristic(l_pdf, f_pdf)
             contrib = (mis[..., None] * f * l_col) / jnp.maximum(l_pdf[..., None], 1e-20)
@@ -924,7 +957,7 @@ def _trace_rays(
                 l_col = l_col * shadow[..., None]
             f, _ = evaluate_bsdf(
                 sp, attrs.geometric_normal, view, light_ray.direction, settings,
-                scene.sheen_table, enable_sheen=meta.has_sheen,
+                scene.sheen_table, meta=meta,
             )
             ok = alive & jnp.any(l_col > 0.0, -1)
             radiance = radiance + jnp.where(
@@ -935,7 +968,7 @@ def _trace_rays(
         if bounce < settings.max_bounces:
             u3 = rand4()[..., 0:3]
             f, l_dir, pdf, is_t, use_mis = sample_bsdf(
-                sp, u3, view, settings, scene.sheen_table, enable_sheen=meta.has_sheen
+                sp, u3, view, settings, scene.sheen_table, meta=meta
             )
             weight = jnp.where(pdf[..., None] != 0.0, f / pdf[..., None], 0.0)
             throughput = rr_state * weight
