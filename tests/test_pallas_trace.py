@@ -1,0 +1,144 @@
+"""Packet-traversal Pallas kernel vs the XLA packed traversal (ground truth).
+
+The packet kernel (ops/pallas_trace.traverse_packets) is the TPU fast path for
+every ray the path tracer dispatches; these tests run it in interpret mode on
+CPU against ops/bvh.intersect_closest_p / intersect_any_p across all filter
+combinations (cull_sign, blend_mode, any_hit) and degenerate rays — the DXR
+TraceRay flag semantics (Pathtracer.cpp:344-353).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gltf_renderer_tpu.ops import bvh as bvh_ops
+from gltf_renderer_tpu.ops.pallas_trace import traverse_packets
+
+
+def _random_scene(n_tris, seed, all_flags=True):
+    """Random triangle soup in [-1, 1]^3 with randomized flag words."""
+    rs = np.random.RandomState(seed)
+    c = rs.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
+    p0 = c + rs.uniform(-0.25, 0.25, (n_tris, 3)).astype(np.float32)
+    p1 = c + rs.uniform(-0.25, 0.25, (n_tris, 3)).astype(np.float32)
+    p2 = c + rs.uniform(-0.25, 0.25, (n_tris, 3)).astype(np.float32)
+    tree = bvh_ops.build(p0, p1, p2)
+    order = np.asarray(tree.tri_order)
+    words = order.astype(np.int64).copy()
+    if all_flags:
+        words |= np.where(rs.rand(n_tris) < 0.3, bvh_ops.FLAG_MASKED, 0)
+        words |= np.where(rs.rand(n_tris) < 0.3, bvh_ops.FLAG_BLEND, 0)
+        words |= np.where(rs.rand(n_tris) < 0.3, bvh_ops.FLAG_DOUBLE_SIDED, 0)
+    packed = bvh_ops.pack(
+        tree, p0[order], (p1 - p0)[order], (p2 - p0)[order], words.astype(np.int32)
+    )
+    return packed
+
+
+def _random_rays(n_rays, seed, coherent=False):
+    rs = np.random.RandomState(seed)
+    if coherent:
+        o = np.tile(np.asarray([[0.0, -3.0, 0.0]], np.float32), (n_rays, 1))
+        target = rs.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
+        d = target - o
+    else:
+        o = rs.uniform(-3, 3, (n_rays, 3)).astype(np.float32)
+        d = rs.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    t_min = np.zeros(n_rays, np.float32)
+    t_max = np.full(n_rays, 20.0, np.float32)
+    return jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min), jnp.asarray(t_max)
+
+
+def _compare_closest(packed, o, d, t_min, t_max, cull_sign, blend_mode):
+    ref = bvh_ops.intersect_closest_p(
+        packed, o, d, t_min, t_max, blend_mode=blend_mode, cull_sign=cull_sign
+    )
+    t, word, u, v = traverse_packets(
+        packed, o, d, t_min, t_max,
+        cull_sign=cull_sign, blend_mode=blend_mode, interpret=True,
+    )
+    tri = np.where(np.asarray(word) >= 0, np.asarray(word) & bvh_ops.ID_MASK, -1)
+    ref_tri = np.asarray(ref.tri)
+    ref_t = np.asarray(ref.t)
+    t = np.asarray(t)
+
+    hit_ref = ref_tri >= 0
+    hit_ker = tri >= 0
+    np.testing.assert_array_equal(hit_ker, hit_ref)
+    # Hit distances agree to FP tolerance; near-ties may pick either triangle.
+    np.testing.assert_allclose(t[hit_ref], ref_t[hit_ref], rtol=1e-4, atol=1e-5)
+    same_tri = tri == ref_tri
+    close = np.abs(t - ref_t) <= 1e-4 * np.maximum(np.abs(ref_t), 1.0)
+    assert np.all(same_tri | (hit_ref & close)), (
+        f"{(~(same_tri | close)).sum()} rays picked a non-tie different triangle"
+    )
+    # Barycentrics agree where the same triangle won.
+    m = same_tri & hit_ref
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v)[m], np.asarray(ref.v)[m], rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("cull_sign", [-1, 0, 1])
+def test_closest_matches_xla_cull(cull_sign):
+    packed = _random_scene(200, seed=7)
+    o, d, t_min, t_max = _random_rays(256, seed=11)
+    _compare_closest(packed, o, d, t_min, t_max, cull_sign, bvh_ops.BLEND_ANY)
+
+
+@pytest.mark.parametrize(
+    "blend_mode", [bvh_ops.BLEND_ANY, bvh_ops.BLEND_EXCLUDE, bvh_ops.BLEND_ONLY]
+)
+def test_closest_matches_xla_blend(blend_mode):
+    packed = _random_scene(200, seed=13)
+    o, d, t_min, t_max = _random_rays(256, seed=17)
+    _compare_closest(packed, o, d, t_min, t_max, 0, blend_mode)
+
+
+def test_closest_coherent_packet():
+    packed = _random_scene(300, seed=23)
+    o, d, t_min, t_max = _random_rays(512, seed=29, coherent=True)
+    _compare_closest(packed, o, d, t_min, t_max, 0, bvh_ops.BLEND_ANY)
+
+
+def test_any_hit_matches_xla():
+    packed = _random_scene(200, seed=31)
+    o, d, t_min, t_max = _random_rays(256, seed=37)
+    ref = bvh_ops.intersect_any_p(packed, o, d, t_min, t_max)
+    t, word, u, v = traverse_packets(
+        packed, o, d, t_min, t_max, any_hit=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(word) >= 0, np.asarray(ref))
+
+
+def test_degenerate_rays():
+    """Axis-aligned and zero-component directions must not produce NaN hits."""
+    packed = _random_scene(100, seed=41)
+    o = jnp.asarray(
+        [[0.0, -3.0, 0.0], [0.0, -3.0, 0.0], [-3.0, 0.0, 0.0], [0.0, 0.0, 3.0]],
+        jnp.float32,
+    )
+    d = jnp.asarray(
+        [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 0.0, -1.0]],
+        jnp.float32,
+    )
+    t_min = jnp.zeros(4, jnp.float32)
+    t_max = jnp.full(4, 20.0, jnp.float32)
+    ref = bvh_ops.intersect_closest_p(packed, o, d, t_min, t_max)
+    t, word, u, v = traverse_packets(packed, o, d, t_min, t_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(word) >= 0, np.asarray(ref.tri) >= 0)
+    assert np.isfinite(np.asarray(t)).all()
+
+
+def test_tmin_offset_respected():
+    """Rays restarted past a hit (alpha retraversal pattern) skip that hit."""
+    packed = _random_scene(200, seed=43)
+    o, d, t_min, t_max = _random_rays(256, seed=47, coherent=True)
+    t0, w0, _, _ = traverse_packets(packed, o, d, t_min, t_max, interpret=True)
+    has = np.asarray(w0) >= 0
+    t_min2 = jnp.where(jnp.asarray(has), t0 * 1.0001 + 1e-5, t_max + 1.0)
+    ref = bvh_ops.intersect_closest_p(packed, o, d, t_min2, t_max)
+    t1, w1, _, _ = traverse_packets(packed, o, d, t_min2, t_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(w1) >= 0, np.asarray(ref.tri) >= 0)
+    both = (np.asarray(w1) >= 0) & has
+    assert np.all(np.asarray(t1)[both] > np.asarray(t0)[both])
