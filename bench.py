@@ -20,8 +20,9 @@ import time
 import numpy as np
 
 
-def main():
-    t_setup = time.time()
+def build_bench_scene(width, height):
+    """DamagedHelmet-class bench scene + camera. Returns
+    (ptscene, meta, settings, params, c2w, n_tris)."""
     import jax
     import jax.numpy as jnp
 
@@ -32,10 +33,6 @@ def main():
     from gltf_renderer_tpu.scene import flatten
     from gltf_renderer_tpu.scene.gltf import load_gltf
     from gltf_renderer_tpu.scene.procedural import write_textured_sphere_glb
-
-    width = int(os.environ.get("BENCH_WIDTH", 1920))
-    height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    steps = int(os.environ.get("BENCH_STEPS", 4))
 
     d = tempfile.mkdtemp(prefix="bench_scene_")
     path = write_textured_sphere_glb(
@@ -83,6 +80,21 @@ def main():
     cam = Camera(y_fov=np.pi / 3, aspect_ratio=width / height, z_near=0.01)
     cam.world_to_view = look_at([1.1, -1.1, 0.6], [0.0, 0.0, 0.0])
     c2w = jnp.asarray(cam.clip_to_world())
+    return ptscene, meta, settings, params, c2w, n_tris
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from gltf_renderer_tpu.render import pathtracer as pt
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    steps = int(os.environ.get("BENCH_STEPS", 4))
+
+    ptscene, meta, settings, params, c2w, n_tris = build_bench_scene(width, height)
 
     def trace_j(sc, c, s):
         return pt.trace_chunked(

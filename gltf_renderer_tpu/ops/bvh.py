@@ -26,8 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-LEAF_SIZE = 4
+LEAF_SIZE = 8
 SAH_BINS = 16
+
+# Packed record row layout: LEAF_SIZE x [v0.xyz e1.xyz e2.xyz] + LEAF_SIZE words.
+REC_GEO = 9 * LEAF_SIZE
+REC_WIDTH = REC_GEO + LEAF_SIZE
 
 
 class FlatBVH(NamedTuple):
@@ -528,10 +532,10 @@ def intersect_any(
 # TPU XLA gathers cost ~fixed per gather *op* regardless of row width (row
 # gathers use the sparsecore/vector path); the fast layout packs everything a
 # step needs into single rows:
-#   nodes   (N, 8)  f32: [lo.xyz, hi.xyz, bitcast(first | count<<28),
-#                          bitcast(skip)]
-#   records (N, 48) f32: per-node leaf payload — 4x [v0.xyz, e1.xyz, e2.xyz]
-#                         (36) + 4 bitcast id/flag words + 8 pad.
+#   nodes   (N, 8)  f32: [lo.xyz, hi.xyz, leaf_first (plain float, -1 for
+#                          internal), skip (plain float)]
+#   records (N, REC_GEO) f32: per-node leaf geometry, LEAF_SIZE x [v0, e1, e2]
+#   words   (N, LEAF_SIZE) i32: id/flag words (own array — see PackedBVH).
 # Id/flag word: tri_id | MASKED<<28 | BLEND<<29 | DOUBLE_SIDED<<30.
 
 FLAG_MASKED = 1 << 28
@@ -545,8 +549,20 @@ BLEND_ONLY = 2      # blend pass: only BLEND-flagged triangles
 
 
 class PackedBVH(NamedTuple):
-    nodes: Any     # (N, 8) f32
-    records: Any   # (N, 48) f32
+    """Flush-safe packed traversal tables.
+
+    CRITICAL TPU RULE: never store bitcast int words inside f32 arrays that
+    device-side ops (concatenate, column slices) touch — XLA lowers those to
+    VPU copies that FLUSH DENORMALS TO ZERO, silently corrupting any int
+    pattern < 2^23 (measured on v5e; transfers/gathers/reshapes preserve
+    bits, concat and narrow column slices do not). Topology columns are
+    therefore stored as PLAIN FLOAT VALUES and flag words live in a separate
+    int32 array.
+    """
+
+    nodes: Any     # (N, 8) f32: [lo.xyz, hi.xyz, leaf_first (or -1), skip] as plain floats
+    records: Any   # (N, REC_GEO) f32: LEAF_SIZE x [v0.xyz e1.xyz e2.xyz]
+    words: Any     # (N, LEAF_SIZE) i32: id/flag words, -1 = empty slot
     n_nodes: int
 
 
@@ -561,27 +577,29 @@ def pack(bvh: FlatBVH, slot_v0, slot_e1, slot_e2, slot_flags) -> PackedBVH:
     nodes = np.zeros((n, 8), np.float32)
     nodes[:, 0:3] = np.asarray(bvh.aabb_min)
     nodes[:, 3:6] = np.asarray(bvh.aabb_max)
-    meta = (first.astype(np.uint32) | (count.astype(np.uint32) << 28)).view(np.float32)
-    nodes[:, 6] = meta
-    nodes[:, 7] = skip.astype(np.int32).view(np.float32)
+    nodes[:, 6] = np.where(count > 0, first, -1).astype(np.float32)
+    nodes[:, 7] = skip.astype(np.float32)
 
     t = len(slot_v0)
-    records = np.zeros((n, 48), np.float32)
+    records = np.zeros((n, REC_GEO), np.float32)
+    words = np.full((n, LEAF_SIZE), -1, np.int32)
     if t:
         sv0 = np.asarray(slot_v0, np.float32)
         se1 = np.asarray(slot_e1, np.float32)
         se2 = np.asarray(slot_e2, np.float32)
         sfl = np.asarray(slot_flags, np.int32)
         ks = np.arange(LEAF_SIZE)
-        slot = np.clip(first[:, None] + ks[None, :], 0, t - 1)  # (N, 4)
+        slot = np.clip(first[:, None] + ks[None, :], 0, t - 1)  # (N, LEAF_SIZE)
         for k in range(LEAF_SIZE):
             records[:, 9 * k : 9 * k + 3] = sv0[slot[:, k]]
             records[:, 9 * k + 3 : 9 * k + 6] = se1[slot[:, k]]
             records[:, 9 * k + 6 : 9 * k + 9] = se2[slot[:, k]]
         valid = (ks[None, :] < count[:, None]) & (count[:, None] > 0)
         words = np.where(valid, sfl[slot], np.int32(-1)).astype(np.int32)
-        records[:, 36 : 36 + LEAF_SIZE] = words.view(np.float32)
-    return PackedBVH(nodes=jnp.asarray(nodes), records=jnp.asarray(records), n_nodes=n)
+    return PackedBVH(
+        nodes=jnp.asarray(nodes), records=jnp.asarray(records),
+        words=jnp.asarray(words), n_nodes=n,
+    )
 
 
 def pack_update(packed: PackedBVH, bvh_host: FlatBVH, slot_v0, slot_e1, slot_e2,
@@ -598,19 +616,21 @@ def pack_update(packed: PackedBVH, bvh_host: FlatBVH, slot_v0, slot_e1, slot_e2,
     cols = []
     for k in range(LEAF_SIZE):
         cols.extend([slot_v0[slot[:, k]], slot_e1[slot[:, k]], slot_e2[slot[:, k]]])
-    geo = jnp.concatenate(cols, axis=1)  # (N, 36)
-    records = jnp.concatenate([geo, packed.records[:, 36:]], axis=1)
+    records = jnp.concatenate(cols, axis=1)  # (N, REC_GEO)
     nodes = packed.nodes
     if refitted is not None:
+        # Safe: columns 6-7 hold plain float values, not bitcast ints
+        # (see PackedBVH docstring — concat flushes denormals on TPU).
         nodes = jnp.concatenate(
             [refitted.aabb_min, refitted.aabb_max, packed.nodes[:, 6:8]], axis=1
         )
-    return PackedBVH(nodes=nodes, records=records, n_nodes=packed.n_nodes)
+    return PackedBVH(nodes=nodes, records=records, words=packed.words,
+                     n_nodes=packed.n_nodes)
 
 
 def _mt_packed(origin, direction, rec, t_min, t_max):
-    """Möller–Trumbore on 4 packed triangles. rec (R, 48). Returns
-    (hit, t, u, v, det) each (R, 4)."""
+    """Möller–Trumbore on LEAF_SIZE packed triangles. rec (R, REC_GEO).
+    Returns (hit, t, u, v, det) each (R, LEAF_SIZE)."""
     hs, ts, us, vs, dets = [], [], [], [], []
     for k in range(LEAF_SIZE):
         p0 = rec[:, 9 * k : 9 * k + 3]
@@ -644,10 +664,6 @@ def _mt_packed(origin, direction, rec, t_min, t_max):
         jnp.stack(vs, -1),
         jnp.stack(dets, -1),
     )
-
-
-def _slot_words(rec):
-    return jax.lax.bitcast_convert_type(rec[:, 36 : 36 + LEAF_SIZE], jnp.int32)
 
 
 def _apply_filters(h, det, words, blend_mode: int, cull_sign: int):
@@ -693,17 +709,16 @@ def intersect_closest_p(
         nrec = packed.nodes[node_c]
         lo = nrec[:, 0:3]
         hi = nrec[:, 3:6]
-        meta = jax.lax.bitcast_convert_type(nrec[:, 6], jnp.int32)
-        skip = jax.lax.bitcast_convert_type(nrec[:, 7], jnp.int32)
-        count = jax.lax.shift_right_logical(meta, 28)
-        is_leaf = count > 0
+        skip = nrec[:, 7].astype(jnp.int32)
+        is_leaf = nrec[:, 6] >= 0.0
 
         box_hit = _aabb_hit(origin, inv_dir, lo, hi, t_min, best_t) & alive
 
         do_tris = box_hit & is_leaf
-        rec = packed.records[jnp.where(do_tris, node_c, 0)]
+        sel = jnp.where(do_tris, node_c, 0)
+        rec = packed.records[sel]
         h, t, u, v, det = _mt_packed(origin, direction, rec, t_min, best_t)
-        words = _slot_words(rec)
+        words = packed.words[sel]
         h = _apply_filters(h, det, words, blend_mode, cull_sign) & do_tris[:, None]
 
         t_masked = jnp.where(h, t, jnp.inf)
@@ -760,16 +775,15 @@ def intersect_any_p(
         nrec = packed.nodes[node_c]
         lo = nrec[:, 0:3]
         hi = nrec[:, 3:6]
-        meta = jax.lax.bitcast_convert_type(nrec[:, 6], jnp.int32)
-        skip = jax.lax.bitcast_convert_type(nrec[:, 7], jnp.int32)
-        count = jax.lax.shift_right_logical(meta, 28)
-        is_leaf = count > 0
+        skip = nrec[:, 7].astype(jnp.int32)
+        is_leaf = nrec[:, 6] >= 0.0
 
         box_hit = _aabb_hit(origin, inv_dir, lo, hi, t_min, t_max_b) & alive
         do_tris = box_hit & is_leaf
-        rec = packed.records[jnp.where(do_tris, node_c, 0)]
+        sel = jnp.where(do_tris, node_c, 0)
+        rec = packed.records[sel]
         h, t, u, v, det = _mt_packed(origin, direction, rec, t_min, t_max_b)
-        words = _slot_words(rec)
+        words = packed.words[sel]
         h = _apply_filters(h, det, words, blend_mode, cull_sign) & do_tris[:, None]
         occluded = occluded | jnp.any(h, -1)
 
@@ -783,6 +797,113 @@ def intersect_any_p(
     state = (fzero.astype(jnp.int32), fzero.astype(bool))
     _, occluded = jax.lax.while_loop(cond, body, state)
     return occluded
+
+
+# ---------------------------------------------------------------------------
+# Wide (4-ary) node layout for the Pallas packet kernel
+# ---------------------------------------------------------------------------
+#
+# The binary threaded BVH costs the packet kernel one while-iteration (scalar
+# pop + vector slab + cross-lane reduce + push) PER NODE; that per-iteration
+# sync latency dominates traversal time on TPU. Collapsing two binary levels
+# into 4-wide nodes amortizes it 4x: one iteration tests 4 child boxes and
+# pushes 0-4 entries. Leaves stay the binary leaves (LEAF_SIZE triangles,
+# packed record rows).
+#
+#   wide boxes (N4, 24) f32: 4 x [lo.xyz hi.xyz]; wide meta (N4, 4) i32 (own
+#   array — flush rule, see PackedBVH): internal -> wide child index; leaf ->
+#   binary node id | WIDE_LEAF_BIT; empty children get a far-point box.
+#
+# The wide boxes are pure gathers of binary node AABBs via a static child map,
+# so skinned-frame refits reuse the binary refit + one `assemble_wide` call.
+
+WIDE_LEAF_BIT = 1 << 30
+WIDE_ID_MASK = WIDE_LEAF_BIT - 1
+
+
+class WideMaps(NamedTuple):
+    child_src: Any   # (N4, 4) i32 — binary node id per child (-1 = empty)
+    meta: Any        # (N4, 4) i32 — child meta words (static per topology)
+
+
+def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
+    """Collapse the binary tree into 4-wide nodes (host). Returns
+    (maps, root_meta). root_meta is the stack seed: the root wide id, or a
+    leaf word when the whole tree is one leaf."""
+    count = np.asarray(bvh.count)
+    right = np.asarray(bvh.right)
+    n = count.shape[0]
+    if n == 0 or count[0] > 0:
+        # Single-leaf tree: one wide node whose first child is the leaf.
+        child_src = np.full((1, 4), -1, np.int32)
+        # Empty children get a harmless leaf word; they are never pushed
+        # because the empty sentinel box cannot hit, and even if one were,
+        # leaf processing of an all-invalid record row is a no-op.
+        meta = np.full((1, 4), WIDE_LEAF_BIT, np.int32)
+        if n:
+            child_src[0, 0] = 0
+            meta[0, 0] = 0 | WIDE_LEAF_BIT
+        return WideMaps(child_src=child_src, meta=meta), int(0)
+
+    def entries_of(b):
+        """Child entries of binary internal node b: grandchildren where the
+        child is internal, the child itself where it is a leaf."""
+        out = []
+        for c in (b + 1, right[b]):
+            if count[c] > 0:
+                out.append(c)
+            else:
+                out.extend((c + 1, right[c]))
+        return out
+
+    wide_id = {0: 0}
+    order = [0]
+    work = [0]
+    children = {}
+    while work:
+        b = work.pop()
+        ents = entries_of(b)
+        children[b] = ents
+        for e in ents:
+            if count[e] == 0 and e not in wide_id:
+                wide_id[e] = len(order)
+                order.append(e)
+                work.append(e)
+    n4 = len(order)
+    child_src = np.full((n4, 4), -1, np.int32)
+    # Empty children default to a leaf word: even if a sentinel box ever hit,
+    # processing a record row of an internal node (all words -1) is a no-op,
+    # whereas pushing wide id 0 (the root) would loop forever.
+    meta = np.full((n4, 4), WIDE_LEAF_BIT, np.int32)
+    for w, b in enumerate(order):
+        for c, e in enumerate(children[b]):
+            child_src[w, c] = e
+            if count[e] > 0:
+                meta[w, c] = np.int32(e | WIDE_LEAF_BIT)
+            else:
+                meta[w, c] = np.int32(wide_id[e])
+    return WideMaps(child_src=child_src, meta=meta), 0
+
+
+# Empty-child sentinel: a far-away point box. A NaN box is NOT safe — Mosaic's
+# hardware min/max does not propagate NaN the way XLA does, so NaN bounds can
+# "hit" on TPU (observed: pushed garbage meta and hung the device). A point at
+# +3e38 yields tn = tf = +-huge on every sign combination, which always fails
+# (tn > t_best) or (tf < t_min) for finite ray intervals. An inverted inf box
+# would *pass* the swapped-plane slab test, so that is no good either.
+_EMPTY_BOX = np.full(6, 3.0e38, np.float32)
+
+
+def assemble_wide(packed_nodes, maps: WideMaps):
+    """(N4, 24) wide box rows from binary packed node rows (jit-able).
+
+    Meta words stay in maps.meta (i32) — they never mix into the f32 array
+    (flush rule, see PackedBVH)."""
+    src = jnp.asarray(maps.child_src)
+    boxes = packed_nodes[jnp.clip(src, 0, None), 0:6]          # (N4, 4, 6)
+    boxes = jnp.where((src < 0)[..., None], jnp.asarray(_EMPTY_BOX), boxes)
+    n4 = src.shape[0]
+    return boxes.reshape(n4, 24)
 
 
 def gather_slot_triangles(bvh: FlatBVH, wpos, tri_vertex):

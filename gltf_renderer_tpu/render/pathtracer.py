@@ -68,6 +68,8 @@ class PTScene(NamedTuple):
     lights: T.GpuLights
     env: Any                 # EnvMaps or None
     sheen_table: Any         # (A, C) f32
+    wide_nodes: Any = None   # (N4, 24) f32 4-wide box rows (Pallas kernel)
+    wide_maps: Any = None    # bvh_ops.WideMaps (static child map, for refits)
 
 
 class PTMeta(NamedTuple):
@@ -83,6 +85,7 @@ class PTMeta(NamedTuple):
     has_clearcoat: bool = True   # shader permutations: layers no material in
     has_transmission: bool = True  # the scene uses compile to nothing
     has_alpha_layer: bool = True   # any MASK/BLEND material (alpha < 1 possible)
+    wide_root: int = 0       # stack seed for the wide packet kernel
 
 
 # Pallas packet kernel needs nodes+records resident in VMEM (~16 MB/core).
@@ -100,23 +103,51 @@ def _pallas_available() -> bool:
         return False
 
 
-def _packet_closest(packed, origin, direction, t_min, t_max, blend_mode=0, cull_sign=0):
-    from gltf_renderer_tpu.ops.pallas_trace import traverse_packets
+def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
+                    cull_sign=0, any_hit=False, sort_rays=False):
+    from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
 
-    t, word, u, v = traverse_packets(
-        packed, origin, direction, t_min, jnp.broadcast_to(t_max, t_min.shape),
+    t_max = jnp.broadcast_to(t_max, t_min.shape)
+    if sort_rays:
+        # Bounce/shadow directions are incoherent; the packet kernel prunes on
+        # the UNION of a packet's rays, so grouping rays by direction octant
+        # (dead rays last — their packets terminate after one root test)
+        # roughly halves incoherent traversal time (measured ledger entry).
+        key = (
+            (direction[:, 0] > 0).astype(jnp.int32) * 4
+            + (direction[:, 1] > 0).astype(jnp.int32) * 2
+            + (direction[:, 2] > 0).astype(jnp.int32)
+            + jnp.where(t_min > t_max, 8, 0)
+        )
+        idx = jnp.argsort(key)
+        hit = _packet_closest(
+            scene, meta, origin[idx], direction[idx], t_min[idx], t_max[idx],
+            blend_mode=blend_mode, cull_sign=cull_sign, any_hit=any_hit,
+        )
+        def unsort(x):
+            return jnp.zeros_like(x).at[idx].set(x)
+        return bvh_ops.Hit(
+            t=unsort(hit.t), tri=unsort(hit.tri), u=unsort(hit.u), v=unsort(hit.v)
+        )
+
+    t, word, u, v = traverse_packets_wide(
+        scene.wide_nodes, scene.wide_maps.meta,
+        scene.packed.records, scene.packed.words,
+        origin, direction, t_min, t_max,
+        root_meta=meta.wide_root, any_hit=any_hit,
         cull_sign=cull_sign, blend_mode=blend_mode,
     )
     tri = jnp.where(word >= 0, word & bvh_ops.ID_MASK, -1)
     return bvh_ops.Hit(t=t, tri=tri, u=u, v=v)
 
 
-def closest_hit(scene, meta, origin, direction, t_min, t_max, blend_mode=0, cull_sign=0):
+def closest_hit(scene, meta, origin, direction, t_min, t_max, blend_mode=0, cull_sign=0,
+                sort_rays=False):
     """Dispatch: Pallas packet kernel on TPU (scene in VMEM) or XLA wavefront."""
     if meta.use_pallas:
         return _packet_closest(
-            scene.packed, origin, direction, t_min, t_max,
-            blend_mode=blend_mode, cull_sign=cull_sign,
+            scene, meta, origin, direction, t_min, t_max,
+            blend_mode=blend_mode, cull_sign=cull_sign, sort_rays=sort_rays,
         )
     return bvh_ops.intersect_closest_p(
         scene.packed, origin, direction, t_min, t_max,
@@ -187,9 +218,19 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         has_alpha_layer=has_masked or has_blend_mode,
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
-    table_bytes = 4 * (packed.nodes.size + packed.records.size)
+    wide_maps, wide_root = bvh_ops.build_wide_maps(tree)
+    wide_maps = bvh_ops.WideMaps(
+        child_src=jnp.asarray(wide_maps.child_src),
+        meta=jnp.asarray(wide_maps.meta),
+    )
+    wide_nodes = bvh_ops.assemble_wide(packed.nodes, wide_maps)
+    table_bytes = 4 * (
+        wide_nodes.size + wide_maps.meta.size + packed.records.size
+        + packed.words.size
+    )
     meta = meta._replace(
-        use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET
+        use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET,
+        wide_root=wide_root,
     )
     scene = PTScene(
         world=world,
@@ -200,6 +241,8 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         lights=lights,
         env=env,
         sheen_table=jnp.asarray(sheen_e_table()),
+        wide_nodes=wide_nodes,
+        wide_maps=wide_maps,
     )
     return scene, meta
 
@@ -363,14 +406,16 @@ def _hit_base_alpha(scene: PTScene, tri, u, v):
     return base[..., 3], mrow
 
 
-def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max, cull_sign=0):
+def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max, cull_sign=0,
+                  sort_rays=False):
     """Closest hit honoring alpha-mask any-hit rejection.
 
     Masked triangles whose sampled base alpha < cutoff are IgnoreHit()-ed
     (PathTracer.lib.hlsl:1030-1034): re-traverse from just past the rejected
     hit, bounded by MAX_ALPHA_HOPS.
     """
-    hit = closest_hit(scene, meta, origin, direction, t_min, t_max, cull_sign=cull_sign)
+    hit = closest_hit(scene, meta, origin, direction, t_min, t_max, cull_sign=cull_sign,
+                      sort_rays=sort_rays)
     if not meta.has_masked:
         return hit
 
@@ -383,7 +428,8 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
         tmin_next = jnp.where(need_retry, cur.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
         # Disable finished rays by collapsing their interval.
         eff_tmin = jnp.where(need_retry, tmin_next, t_max + 1.0)
-        nh = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, cull_sign=cull_sign)
+        nh = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, cull_sign=cull_sign,
+                         sort_rays=sort_rays)
         merged = bvh_ops.Hit(
             t=jnp.where(need_retry, nh.t, cur.t),
             tri=jnp.where(need_retry, nh.tri, cur.tri),
@@ -429,7 +475,12 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     if not alpha_shadow:
         eff_tmin = jnp.where(active, t_min, t_max + 1.0)
         if meta.use_pallas:
-            hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max)
+            # ACCEPT_FIRST_HIT: any_hit retires a lane on its first hit
+            # (PathTracer.lib.hlsl:1053-1079 ShadowAnyHit semantics).
+            hit = _packet_closest(
+                scene, meta, origin, direction, eff_tmin, t_max, any_hit=True,
+                sort_rays=True,
+            )
             occluded = hit.tri >= 0
         else:
             occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
@@ -442,7 +493,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     def body(state):
         alive, trans, tmin_cur, it = state
         eff_tmin = jnp.where(alive, tmin_cur, t_max + 1.0)
-        hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max)
+        hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, sort_rays=True)
         hit_valid = (hit.tri >= 0) & alive
         alpha, mrow = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
         from gltf_renderer_tpu.ops.material import get_alpha_row
@@ -869,6 +920,7 @@ def _trace_rays(
             hit = trace_closest(
                 scene, meta, origin, direction, eff_tmin, t_max,
                 cull_sign=primary_cull if bounce == 0 else bounce_cull,
+                sort_rays=bounce > 0,  # bounce packets are incoherent
             )
         ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
 

@@ -163,6 +163,7 @@ class Renderer:
             p2 = world.position[tv[:, 2]]
             tree = self._ptscene.bvh
             packed = self._ptscene.packed
+            wide_nodes = self._ptscene.wide_nodes
             if has_dynamic:
                 host = self._refit_topo()
                 refitted = bvh_ops.refit(host, p0, p1, p2)
@@ -174,8 +175,10 @@ class Renderer:
                     packed, host, p0[order], (p1 - p0)[order], (p2 - p0)[order],
                     refitted=refitted,
                 )
+                wide_nodes = bvh_ops.assemble_wide(packed.nodes, self._ptscene.wide_maps)
             self._ptscene = self._ptscene._replace(
-                world=world, bvh=tree, packed=packed, lights=lights_dev
+                world=world, bvh=tree, packed=packed, lights=lights_dev,
+                wide_nodes=wide_nodes,
             )
         return node_tf
 
