@@ -26,6 +26,10 @@ def build_bench_scene(width, height):
     import jax
     import jax.numpy as jnp
 
+    from gltf_renderer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from gltf_renderer_tpu.camera import Camera, look_at
     from gltf_renderer_tpu.env.environment import build_environment
     from gltf_renderer_tpu.render import pathtracer as pt

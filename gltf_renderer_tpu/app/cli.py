@@ -59,6 +59,8 @@ def save_png(path: str, img_u8: np.ndarray):
 
 
 def main(argv=None) -> int:
+    from gltf_renderer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
     args = build_parser().parse_args(argv)
 

@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from gltf_renderer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
