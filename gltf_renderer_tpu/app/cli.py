@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--camera", type=int, default=None, help="use glTF camera index")
     p.add_argument("--frames", type=int, default=1, help="animation frames to write")
     p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-pass ms table each frame (PIX analogue)")
+    p.add_argument("--trace-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the render to this dir")
     return p
 
 
@@ -160,19 +164,30 @@ def main(argv=None) -> int:
         renderer.camera.z_near = max(1e-3, 0.01 * radius)
         renderer.camera.world_to_view = orbit.world_to_view()
 
+    renderer.profile = bool(args.profile)
+    import contextlib
+    trace_cm = renderer.capture_trace(args.trace_dir) if args.trace_dir else (
+        contextlib.nullcontext()
+    )
     base, ext = os.path.splitext(args.output)
     t0 = time.time()
-    for frame in range(args.frames):
-        if args.backend == "pathtracer":
-            img = None
-            for _ in range(args.spp):
-                img = renderer.draw_frame(delta=0.0)
-        else:
-            img = renderer.draw_frame(delta=1.0 / args.fps if frame else 0.0)
-        out_path = args.output if args.frames == 1 else f"{base}_{frame:04d}{ext}"
-        save_png(out_path, img)
-        if args.frames > 1 and args.backend == "pathtracer":
-            renderer.draw_frame(delta=1.0 / args.fps)  # advance animation
+    with trace_cm:
+        for frame in range(args.frames):
+            if args.backend == "pathtracer":
+                img = None
+                for _ in range(args.spp):
+                    img = renderer.draw_frame(delta=0.0)
+            else:
+                img = renderer.draw_frame(delta=1.0 / args.fps if frame else 0.0)
+            if args.profile and "pass_ms" in renderer.stats:
+                parts = "  ".join(
+                    f"{k}={v:.1f}ms" for k, v in renderer.stats["pass_ms"].items()
+                )
+                logging.info("frame %d passes: %s", frame, parts)
+            out_path = args.output if args.frames == 1 else f"{base}_{frame:04d}{ext}"
+            save_png(out_path, img)
+            if args.frames > 1 and args.backend == "pathtracer":
+                renderer.draw_frame(delta=1.0 / args.fps)  # advance animation
     logging.info("rendered %d frame(s) in %.2fs -> %s", args.frames, time.time() - t0, args.output)
     return 0
 

@@ -55,6 +55,7 @@ class EnvMaps(NamedTuple):
     importance: List[Any]  # mip list of (S, S) luminance *sums*; [-1] is (1,1)
     equirect: Any          # (H, W, 3) source
     importance_quads: List[Any] = None  # quad-packed mips (one-gather descent)
+    alias_rows: Any = None  # (S*S, 4) Walker alias table (O(1) env sampling)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +85,11 @@ def sample_equirect(img, uv):
 
 
 def sample_cube_level(faces, direction):
-    """Bilinear within one cube mip (faces (6, S, S, 3)); face-clamped."""
+    """Bilinear within one cube mip (faces (6, S, S, 3)); face-clamped.
+
+    All four corners ride ONE flat row gather — per-gather fixed cost
+    dominates on TPU (docs/PERFORMANCE.md), so 4 separate (face, y, x)
+    gathers cost ~4x this."""
     face, uv = direction_to_cubemap(direction)
     s = faces.shape[1]
     fx = uv[..., 0] * s - 0.5
@@ -94,15 +99,18 @@ def sample_cube_level(faces, direction):
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
 
-    def fetch(xi, yi):
-        xi = jnp.clip(xi, 0, s - 1)
-        yi = jnp.clip(yi, 0, s - 1)
-        return faces[face, yi, xi]
+    flat = faces.reshape(-1, faces.shape[-1])
+    base = face * (s * s)
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+    def flat_idx(xi, yi):
+        return base + jnp.clip(yi, 0, s - 1) * s + jnp.clip(xi, 0, s - 1)
+
+    idx = jnp.stack(
+        [flat_idx(x0, y0), flat_idx(x0 + 1, y0),
+         flat_idx(x0, y0 + 1), flat_idx(x0 + 1, y0 + 1)]
+    )
+    c = flat[idx.reshape(-1)].reshape(idx.shape + (faces.shape[-1],))
+    c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
     return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
 
 
@@ -270,9 +278,12 @@ def build_environment(
         diffuse = build_diffuse_cube(cube_mips)
         importance = build_importance_map(cube_mips[0], cube_mips[1:])
         quads = sampling.pack_importance_quads(importance)
+        alias_rows = jnp.asarray(
+            sampling.build_alias_rows(np.asarray(importance[0]))
+        )
         return EnvMaps(
             cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance,
-            equirect=eq, importance_quads=quads,
+            equirect=eq, importance_quads=quads, alias_rows=alias_rows,
         )
 
     try:
@@ -298,11 +309,19 @@ def env_radiance(env: EnvMaps, direction):
 
 
 def env_sample(env: EnvMaps, u2):
-    """SampleEnvironmentMap (:688-703): hierarchical importance-map descent.
+    """SampleEnvironmentMap (:688-703). Returns (direction, radiance, pdf_sa).
 
-    Returns (direction, radiance, pdf_solid_angle).
+    Fast path: O(1) alias-table texel pick (one gather) — same distribution
+    and pdf as the reference's hierarchical descent, which costs one gather
+    per mip level. u2 may carry 4 uniform components; the descent paths use
+    the first 2 (exactly the reference's consumption), the alias path all 4.
     """
-    if env.importance_quads:
+    if env.alias_rows is not None and u2.shape[-1] >= 4:
+        size = env.importance[0].shape[0]
+        uv, pdf = sampling.sample_importance_alias(
+            env.alias_rows, size, env.importance[-1][0, 0], u2
+        )
+    elif env.importance_quads:
         uv, pdf = sampling.sample_importance_map_quads(
             env.importance_quads, env.importance[-1][0, 0], u2
         )

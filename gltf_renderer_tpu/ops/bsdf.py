@@ -224,7 +224,25 @@ def sheen_brdf(alpha, n_dot_l, n_dot_v, n_dot_h):
 
 
 @functools.lru_cache(maxsize=1)
-def sheen_e_table(res_cos: int = 64, res_alpha: int = 64, n_samples: int = 8192):
+def sheen_e_table():
+    """The sheen directional-albedo LUT E(cos_theta, alpha), (16, 16) f32.
+
+    The exact Dassault Systèmes Enterprise PBR (DSPBR) table the reference
+    loads from Resources/Sheen_E.exr (GpuResources.cpp:72-132) — embedded as
+    data/sheen_e.npy (CC-BY-SA 4.0 with attribution, see
+    data/SHEEN_E_LICENSE.txt). Sampled bilinearly by sheen_e() with the same
+    (cos_theta, alpha) uv convention as Bsdf.hlsli:204-208, so sheen shading
+    is bit-identical to the reference. sheen_e_table_mc remains as the
+    self-contained Monte-Carlo rebuild (corr 0.986 — validated in tests).
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "sheen_e.npy")
+    return np.load(path).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def sheen_e_table_mc(res_cos: int = 64, res_alpha: int = 64, n_samples: int = 8192):
     """Directional albedo E(cos_theta_v, alpha) of the Charlie sheen BRDF.
 
     Rebuilds the Resources/Sheen_E.exr LUT (loaded in GpuResources.cpp:72-132)

@@ -7,6 +7,7 @@ vectorized over leading dims; `u` are uniform [0,1] samples.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gltf_renderer_tpu.utils.math import (
@@ -173,6 +174,68 @@ def sample_importance_map_quads(quads, total, u):
         [(px.astype(jnp.float32) + ux) / size, (py.astype(jnp.float32) + uy) / size],
         axis=-1,
     )
+    return uv, pdf
+
+
+def build_alias_rows(importance_map) -> "np.ndarray":
+    """Walker/Vose alias table over the luminance-sum map (host, load time).
+
+    TPU-native replacement for the hierarchical descent's 10 dependent
+    gathers (Sampling.hlsli:123-163): samples the SAME texel distribution
+    (p_i = value_i / total) with ONE row gather. Rows are (S*S, 4) f32:
+    [keep_threshold, alias_index (bitcast i32), value_self, value_alias] —
+    value columns reproduce pdf = S^2 * value / total exactly as
+    importance_map_pdf does, so MIS weights stay consistent.
+    """
+    import numpy as np
+
+    w = np.asarray(importance_map, np.float64).reshape(-1)
+    n = w.size
+    total = float(w.sum())
+    p = w / total if total > 0.0 else np.full(n, 1.0 / n)
+    q = p * n
+    alias = np.arange(n, dtype=np.int64)
+    thresh = np.ones(n, np.float64)
+    small = list(np.nonzero(q < 1.0)[0])
+    large = list(np.nonzero(q >= 1.0)[0])
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        thresh[s] = q[s]
+        alias[s] = l
+        q[l] -= 1.0 - q[s]
+        (small if q[l] < 1.0 else large).append(l)
+    # Leftovers (numerical slack) keep themselves with probability 1.
+    vals = np.asarray(importance_map, np.float32).reshape(-1)
+    rows = np.empty((n, 4), np.float32)
+    rows[:, 0] = thresh.astype(np.float32)
+    rows[:, 1] = alias.astype(np.int32).view(np.float32)
+    rows[:, 2] = vals
+    rows[:, 3] = vals[alias]
+    return rows
+
+
+def sample_importance_alias(rows, size, total, u4):
+    """O(1) alias sampling of the importance map: ONE row gather.
+
+    u4: (R, 4) uniforms — bucket pick, alias branch, in-texel x, in-texel y
+    (the reference generates 4 random components per step and the descent
+    consumes only 2, Random.hlsli pcg4d; here all 4 are used). Returns
+    (uv, pdf) in square measure, identical in distribution and pdf to
+    sample_importance_map."""
+    n = size * size
+    b = jnp.minimum((u4[..., 0] * n).astype(jnp.int32), n - 1)
+    r = rows[b]
+    take_alias = u4[..., 1] >= r[..., 0]
+    alias_idx = jax.lax.bitcast_convert_type(r[..., 1], jnp.int32)
+    texel = jnp.where(take_alias, alias_idx, b)
+    value = jnp.where(take_alias, r[..., 3], r[..., 2])
+    px = (texel % size).astype(jnp.float32)
+    py = (texel // size).astype(jnp.float32)
+    uv = jnp.stack(
+        [(px + u4[..., 2]) / size, (py + u4[..., 3]) / size], axis=-1
+    )
+    pdf = float(size) * float(size) * value / jnp.maximum(total, 1e-30)
     return uv, pdf
 
 

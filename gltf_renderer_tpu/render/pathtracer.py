@@ -103,8 +103,51 @@ def _pallas_available() -> bool:
         return False
 
 
+def _counting_positions(key, n_buckets):
+    """Stable counting-sort positions: ray r belongs at sorted index pos[r].
+
+    A full jnp.argsort costs ~12 ms at chunk size on TPU; an n<=16-bucket
+    counting sort (one (R, n) cumsum + 2 small gathers) is several times
+    cheaper and stable, which keeps packets coherent."""
+    oh = (key[:, None] == jnp.arange(n_buckets, dtype=key.dtype)).astype(jnp.int32)
+    within = jnp.cumsum(oh, axis=0)                      # (R, n) inclusive
+    counts = within[-1]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.take_along_axis(within, key[:, None], 1)[:, 0] - 1
+    return offsets[key] + rank
+
+
+def _octant_positions(direction, t_min, t_max, spatial_bucket=None):
+    """Packet-coherence ordering for incoherent (bounce/shadow) rays.
+
+    Base key: direction octant, dead rays (t_min > t_max) last. When
+    spatial_bucket is given (16-valued origin-locality key — the BVH slot
+    index of the hit the ray starts from, which is spatially sorted by the
+    SAH build), a second stable counting pass groups by locality THEN octant:
+    secondary packets become near-primary coherent instead of union-traversing
+    the whole tree."""
+    key = (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
+        + jnp.where(t_min > t_max, 8, 0)
+    )
+    pos1 = _counting_positions(key, 16)
+    if spatial_bucket is None:
+        return pos1
+    # LSD radix: octant pass above (minor), locality pass below (major).
+    # Dead rays go to the last locality bucket so they pack together and
+    # their packets terminate after one root test.
+    spatial_bucket = jnp.where(t_min > t_max, 15, spatial_bucket)
+    sb = jnp.zeros_like(spatial_bucket).at[pos1].set(spatial_bucket)
+    pos2 = _counting_positions(sb, 16)
+    return pos2[pos1]
+
+
 def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
-                    cull_sign=0, any_hit=False, sort_rays=False):
+                    cull_sign=0, any_hit=False, sort_rays=False, sort_spatial=None):
     from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
 
     t_max = jnp.broadcast_to(t_max, t_min.shape)
@@ -113,21 +156,32 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
         # the UNION of a packet's rays, so grouping rays by direction octant
         # (dead rays last — their packets terminate after one root test)
         # roughly halves incoherent traversal time (measured ledger entry).
-        key = (
-            (direction[:, 0] > 0).astype(jnp.int32) * 4
-            + (direction[:, 1] > 0).astype(jnp.int32) * 2
-            + (direction[:, 2] > 0).astype(jnp.int32)
-            + jnp.where(t_min > t_max, 8, 0)
+        # One scatter reorders all 8 ray columns at once; one gather restores
+        # the 4 hit columns (gather/scatter op count dominates, not bytes).
+        if sort_spatial is not None:
+            n_slots = max(int(scene.packed.words.shape[0]), 1)
+            bucket = jnp.clip(sort_spatial, 0, None) * 16 // n_slots
+        else:
+            bucket = None
+        pos = _octant_positions(direction, t_min, t_max, bucket)
+        cols = jnp.concatenate(
+            [origin, direction, t_min[:, None], t_max[:, None]], axis=1
         )
-        idx = jnp.argsort(key)
+        sorted_cols = jnp.zeros_like(cols).at[pos].set(cols)
         hit = _packet_closest(
-            scene, meta, origin[idx], direction[idx], t_min[idx], t_max[idx],
+            scene, meta, sorted_cols[:, 0:3], sorted_cols[:, 3:6],
+            sorted_cols[:, 6], sorted_cols[:, 7],
             blend_mode=blend_mode, cull_sign=cull_sign, any_hit=any_hit,
         )
-        def unsort(x):
-            return jnp.zeros_like(x).at[idx].set(x)
+        # tri rides the float gather as a VALUE (exact for |tri| < 2^24), NOT a
+        # bitcast: small-int bit patterns are f32 denormals, which the TPU
+        # flushes to zero (and -1 is a NaN that gets canonicalized).
+        out = jnp.stack(
+            [hit.t, hit.u, hit.v, hit.tri.astype(jnp.float32)], axis=1
+        )[pos]
         return bvh_ops.Hit(
-            t=unsort(hit.t), tri=unsort(hit.tri), u=unsort(hit.u), v=unsort(hit.v)
+            t=out[:, 0], u=out[:, 1], v=out[:, 2],
+            tri=out[:, 3].astype(jnp.int32),
         )
 
     t, word, u, v = traverse_packets_wide(
@@ -142,12 +196,13 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
 
 
 def closest_hit(scene, meta, origin, direction, t_min, t_max, blend_mode=0, cull_sign=0,
-                sort_rays=False):
+                sort_rays=False, sort_spatial=None):
     """Dispatch: Pallas packet kernel on TPU (scene in VMEM) or XLA wavefront."""
     if meta.use_pallas:
         return _packet_closest(
             scene, meta, origin, direction, t_min, t_max,
             blend_mode=blend_mode, cull_sign=cull_sign, sort_rays=sort_rays,
+            sort_spatial=sort_spatial,
         )
     return bvh_ops.intersect_closest_p(
         scene.packed, origin, direction, t_min, t_max,
@@ -216,6 +271,13 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         has_clearcoat=has_clearcoat,
         has_transmission=has_transmission,
         has_alpha_layer=has_masked or has_blend_mode,
+    )
+    # Compact material rows to the scene's used slots: gather traffic per hit
+    # scales with textures the scene references, not the 15-slot layout.
+    from gltf_renderer_tpu.ops.material import compact_material_rows
+
+    materials = materials._replace(
+        rows=jnp.asarray(compact_material_rows(np.asarray(materials.rows), used_slots))
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
     wide_maps, wide_root = bvh_ops.build_wide_maps(tree)
@@ -311,21 +373,27 @@ def _generate_tangent(normal):
     return normalize(cross(helper, normal))
 
 
-def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttributes:
-    """GetVertexAttributes port on packed rows: 1 tri-row + 3 vertex-row
-    gathers (PathTracer.lib.hlsl:280-302)."""
+def _gather_tri_vertices(world: WorldGeometry, tri):
+    """One tri-row gather + ONE fused 3-vertex-row gather (vs 3 separate:
+    per-gather fixed cost dominates on TPU — see docs/PERFORMANCE.md)."""
     tri_c = jnp.clip(tri, 0, None)
     trow = world.tri_rows[tri_c]                     # (R, 8) i32
-    i0, i1, i2 = trow[:, 0], trow[:, 1], trow[:, 2]
-    material = trow[:, 3]
-    fbits = trow[:, 4]
+    idx = jnp.concatenate([trow[:, 0], trow[:, 1], trow[:, 2]])
+    rr = world.vertex_rows[idx]                      # (3R, 20) f32 — one gather
+    r0, r1, r2 = jnp.split(rr, 3, axis=0)
+    return trow, r0, r1, r2
+
+
+def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttributes:
+    """GetVertexAttributes port on packed rows: 1 tri-row + 1 fused vertex-row
+    gather (PathTracer.lib.hlsl:280-302)."""
     from gltf_renderer_tpu.scene.flatten import (
         TRI_HAS_COLOR, TRI_HAS_TS, TRI_HAS_UV0, TRI_HAS_UV1,
     )
 
-    r0 = world.vertex_rows[i0]                       # (R, 20) f32
-    r1 = world.vertex_rows[i1]
-    r2 = world.vertex_rows[i2]
+    trow, r0, r1, r2 = _gather_tri_vertices(world, tri)
+    material = trow[:, 3]
+    fbits = trow[:, 4]
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]
@@ -378,20 +446,15 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
 # Alpha evaluation for any-hit semantics (AnyHit, PathTracer.lib.hlsl:1010-1035)
 # ---------------------------------------------------------------------------
 
-def _hit_base_alpha(scene: PTScene, tri, u, v):
+def _hit_base_alpha(scene: PTScene, meta: PTMeta, tri, u, v):
     """base_color.a + cutoff/mode for (tri, u, v) hits — packed-row path."""
     from gltf_renderer_tpu.ops.material import get_base_color_row
     from gltf_renderer_tpu.scene.flatten import TRI_HAS_COLOR, TRI_HAS_UV0, TRI_HAS_UV1
 
     world = scene.world
-    tri_c = jnp.clip(tri, 0, None)
-    trow = world.tri_rows[tri_c]
-    i0, i1, i2 = trow[:, 0], trow[:, 1], trow[:, 2]
+    trow, r0, r1, r2 = _gather_tri_vertices(world, tri)
     mat = trow[:, 3]
     fbits = trow[:, 4]
-    r0 = world.vertex_rows[i0]
-    r1 = world.vertex_rows[i1]
-    r2 = world.vertex_rows[i2]
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]
@@ -402,12 +465,15 @@ def _hit_base_alpha(scene: PTScene, tri, u, v):
     has_uv1 = ((fbits & TRI_HAS_UV1) != 0)[..., None]
     uv1 = jnp.where(has_uv1, w0 * r0[:, 12:14] + w1 * r1[:, 12:14] + w2 * r2[:, 12:14], 0.0)
     mrow = scene.materials.rows[mat]
-    base = get_base_color_row(mrow, scene.textures, uv0, uv1, col)
+    base = get_base_color_row(
+        mrow, scene.textures, uv0, uv1, col,
+        used_slots=meta.used_slots, compact=True,
+    )
     return base[..., 3], mrow
 
 
 def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max, cull_sign=0,
-                  sort_rays=False):
+                  sort_rays=False, sort_spatial=None):
     """Closest hit honoring alpha-mask any-hit rejection.
 
     Masked triangles whose sampled base alpha < cutoff are IgnoreHit()-ed
@@ -415,7 +481,7 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
     hit, bounded by MAX_ALPHA_HOPS.
     """
     hit = closest_hit(scene, meta, origin, direction, t_min, t_max, cull_sign=cull_sign,
-                      sort_rays=sort_rays)
+                      sort_rays=sort_rays, sort_spatial=sort_spatial)
     if not meta.has_masked:
         return hit
 
@@ -429,24 +495,24 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
         # Disable finished rays by collapsing their interval.
         eff_tmin = jnp.where(need_retry, tmin_next, t_max + 1.0)
         nh = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, cull_sign=cull_sign,
-                         sort_rays=sort_rays)
+                         sort_rays=sort_rays, sort_spatial=sort_spatial)
         merged = bvh_ops.Hit(
             t=jnp.where(need_retry, nh.t, cur.t),
             tri=jnp.where(need_retry, nh.tri, cur.tri),
             u=jnp.where(need_retry, nh.u, cur.u),
             v=jnp.where(need_retry, nh.v, cur.v),
         )
-        retry = _needs_alpha_retry(scene, merged) & need_retry
+        retry = _needs_alpha_retry(scene, meta, merged) & need_retry
         return retry, merged, tmin_next, it + 1
 
-    retry0 = _needs_alpha_retry(scene, hit)
+    retry0 = _needs_alpha_retry(scene, meta, hit)
     _, hit, _, _ = jax.lax.while_loop(
         cond, body, (retry0, hit, jnp.broadcast_to(t_min, hit.t.shape), 0)
     )
     return hit
 
 
-def _needs_alpha_retry(scene: PTScene, hit: bvh_ops.Hit):
+def _needs_alpha_retry(scene: PTScene, meta: PTMeta, hit: bvh_ops.Hit):
     from gltf_renderer_tpu.scene.flatten import TRI_ALPHA_SHIFT
 
     valid = hit.tri >= 0
@@ -454,13 +520,13 @@ def _needs_alpha_retry(scene: PTScene, hit: bvh_ops.Hit):
     fbits = scene.world.tri_rows[tri_c, 4]
     is_mask = ((fbits >> TRI_ALPHA_SHIFT) & 3) == T.ALPHA_MODE_MASK
     maybe = valid & is_mask
-    alpha, mrow = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
+    alpha, mrow = _hit_base_alpha(scene, meta, hit.tri, hit.u, hit.v)
     cutoff = mrow[:, 10]
     return maybe & (alpha < cutoff)
 
 
 def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_shadow: bool,
-                 active=None):
+                 active=None, sort_spatial=None):
     """TraceShadowRay port (PathTracer.lib.hlsl:724-742). Returns transmission.
 
     Binary mode: ACCEPT_FIRST_HIT + initial transmission 0 — ANY geometry
@@ -479,7 +545,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
             # (PathTracer.lib.hlsl:1053-1079 ShadowAnyHit semantics).
             hit = _packet_closest(
                 scene, meta, origin, direction, eff_tmin, t_max, any_hit=True,
-                sort_rays=True,
+                sort_rays=True, sort_spatial=sort_spatial,
             )
             occluded = hit.tri >= 0
         else:
@@ -493,9 +559,10 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     def body(state):
         alive, trans, tmin_cur, it = state
         eff_tmin = jnp.where(alive, tmin_cur, t_max + 1.0)
-        hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, sort_rays=True)
+        hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, sort_rays=True,
+                          sort_spatial=sort_spatial)
         hit_valid = (hit.tri >= 0) & alive
-        alpha, mrow = _hit_base_alpha(scene, hit.tri, hit.u, hit.v)
+        alpha, mrow = _hit_base_alpha(scene, meta, hit.tri, hit.u, hit.v)
         from gltf_renderer_tpu.ops.material import get_alpha_row
 
         a = get_alpha_row(mrow, jnp.stack([alpha, alpha, alpha, alpha], -1))
@@ -757,7 +824,20 @@ def _balance_heuristic(pdf, other_pdf):
 # The tracer
 # ---------------------------------------------------------------------------
 
-RAY_CHUNK = 262144  # rays per dispatch chunk (amortizes fixed per-gather cost)
+def _default_ray_chunk():
+    import os
+
+    try:
+        return int(os.environ.get("GLTF_TPU_RAY_CHUNK", "0")) or 262144
+    except ValueError:
+        return 262144
+
+
+# Rays per dispatch chunk. Frame cost is dominated by a fixed per-op cost of
+# the ~110 gather/scatter/kernel ops in one chunk (docs/PERFORMANCE.md), so
+# bigger chunks amortize it linearly — bounded by runtime stability (very
+# large single dispatches have faulted the TPU worker).
+RAY_CHUNK = _default_ray_chunk()
 
 
 def trace(
@@ -892,6 +972,8 @@ def _trace_rays(
     direction = direction_raw / ray_len[..., None]
     t_max = ray_len
 
+    prev_tri = None  # previous bounce's hit slot: spatial sort key for
+    # secondary dispatches (BVH slot order is spatially coherent)
     radiance = jnp.zeros((n_rays, 3), jnp.float32)
     prefix = jnp.ones((n_rays, 3), jnp.float32)      # prod of post-RR weights
     rr_state = jnp.ones((n_rays, 3), jnp.float32)    # reference payload.throughput
@@ -921,6 +1003,7 @@ def _trace_rays(
                 scene, meta, origin, direction, eff_tmin, t_max,
                 cull_sign=primary_cull if bounce == 0 else bounce_cull,
                 sort_rays=bounce > 0,  # bounce packets are incoherent
+                sort_spatial=prev_tri,
             )
         ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
 
@@ -956,6 +1039,7 @@ def _trace_rays(
             use_geometric_normals=settings.material_use_geometric_normals,
             shading_normal_adaptation=settings.shading_normal_adaptation,
             used_slots=meta.used_slots,
+            rows_compact=True,
         )
 
         if bounce == 0 and settings.debug_output != S.DEBUG_NONE:
@@ -973,12 +1057,12 @@ def _trace_rays(
 
         # Environment NEE + MIS (ClosestHit:928-942).
         if bounce < settings.max_bounces and nee_env and meta.has_env:
-            u_env = rand4()[..., 0:2]
+            u_env = rand4()  # descent uses .xy (reference); alias path all 4
             l_dir, l_col, l_pdf = _env_sample(scene, meta, u_env, params)
             shadow = trace_shadow(
                 scene, meta, ray_origin, l_dir,
                 jnp.full(n_rays, params.max_ray_length, jnp.float32),
-                alpha_shadow=False, active=alive,
+                alpha_shadow=False, active=alive, sort_spatial=hit.tri,
             )
             ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
             l_col = l_col * shadow[..., None]
@@ -1004,6 +1088,7 @@ def _trace_rays(
                     scene, meta, ray_origin, light_ray.direction,
                     jnp.full(n_rays, params.max_ray_length, jnp.float32),
                     alpha_shadow=settings.alpha_shadows, active=alive,
+                    sort_spatial=hit.tri,
                 )
                 ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
                 l_col = l_col * shadow[..., None]
@@ -1061,6 +1146,7 @@ def _trace_rays(
             # throughput*weight (PathTracer.lib.hlsl:995-1003) — affects only RR.
             origin = jnp.where(is_t[..., None], ray_origin_below, ray_origin)
             direction = l_dir
+            prev_tri = hit.tri
             t_max = jnp.full(n_rays, params.max_ray_length, jnp.float32)
             prev_pdf = pdf
             prev_mis = use_mis

@@ -83,6 +83,7 @@ class Renderer:
         self._last_reset_key = None
         self.frame_index = 0
         self.stats: Dict[str, float] = {}
+        self.profile = False  # per-pass ms in stats["pass_ms"] (PIX markers)
 
     # -- loading -----------------------------------------------------------
 
@@ -226,9 +227,22 @@ class Renderer:
         """One frame -> (H, W, 3) u8. Progressive accumulation persists across
         calls until camera/settings/animation change (Pathtracer.cpp:259-272)."""
         assert self.scene is not None, "no scene loaded"
+        import time as _time
+
         st = self.settings
+        pass_ms = {}
+
+        def _timed(name, fn, *a, **kw):
+            if not self.profile:
+                return fn(*a, **kw)
+            t0 = _time.perf_counter()
+            out = fn(*a, **kw)
+            jax.block_until_ready(out) if out is not None else None
+            pass_ms[name] = round((_time.perf_counter() - t0) * 1e3, 3)
+            return out
+
         pose = self.player.tick(self.scene, delta) if self.player.animation else None
-        self._update_geometry(pose)
+        _timed("skin_and_refit", self._update_geometry, pose)
 
         key = self._reset_key()
         if key != self._last_reset_key:
@@ -244,7 +258,7 @@ class Renderer:
         if st.backend == "pathtracer":
             if self.accumulated_frames < st.pt.max_accumulated_frames:
                 frame_seed = seed if seed is not None else self.accumulated_frames
-                self._accum = _pt_step(
+                self._accum = _timed("path_trace_scene", _pt_step,
                     self._ptscene,
                     self._meta,
                     st.pt,
@@ -261,7 +275,7 @@ class Renderer:
         else:
             from gltf_renderer_tpu.render import rasterizer
 
-            hdr = rasterizer.render(
+            hdr = _timed("draw_scene", rasterizer.render,
                 self._ptscene, self._meta, st, self.params, c2w,
                 jnp.asarray(self.camera.position()), resolution,
                 jnp.uint32(self.frame_index),
@@ -269,7 +283,8 @@ class Renderer:
             self._accum = hdr
             bloom_settings = st.bloom
 
-        img = _post_step(hdr, st.tonemap, bloom_settings, jnp.uint32(self.frame_index))
+        img = _timed("post(bloom+tonemap)", _post_step,
+                     hdr, st.tonemap, bloom_settings, jnp.uint32(self.frame_index))
         self.frame_index += 1
         self.stats = {
             "frame": self.frame_index,
@@ -277,4 +292,16 @@ class Renderer:
             "backend": st.backend,
             "triangles": int(np.asarray(self._ptscene.world.tri_vertex).shape[0]),
         }
+        if self.profile:
+            self.stats["pass_ms"] = pass_ms
         return np.asarray(img)
+
+    def capture_trace(self, log_dir: str):
+        """jax.profiler trace capture around frames (the Tracy/PIX timeline
+        analogue, Profiling.h:21-43): use as
+
+            with renderer.capture_trace("/tmp/trace"):
+                renderer.draw_frame()
+
+        then inspect with TensorBoard / xprof."""
+        return jax.profiler.trace(log_dir)

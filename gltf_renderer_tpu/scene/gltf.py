@@ -393,6 +393,7 @@ def _load_materials(doc: dict, texloader: _TextureLoader) -> T.MaterialTable:
         thickness_factor=f32(0.0),
         attenuation_distance=f32(0.0),
         attenuation_color=np.ones((M, 3), np.float32),
+        dispersion=f32(0.0),
         tex_index=np.full((M, S), -1, np.int32),
         tex_uvset=np.zeros((M, S), np.int32),
         tex_rotation=np.zeros((M, S), np.float32),
@@ -485,6 +486,13 @@ def _load_materials(doc: dict, texloader: _TextureLoader) -> T.MaterialTable:
             tbl["attenuation_distance"][r] = e.get("attenuationDistance", 0.0)
             tbl["attenuation_color"][r] = e.get("attenuationColor", [1, 1, 1])
             set_tex(r, T.TEX_THICKNESS, e, "thicknessTexture", False)
+        if "KHR_materials_dispersion" in ext:
+            # Stored, not shaded — reference parity (Gltf.cpp:543-547; note
+            # the reference looks up the wrong key "KHR_dispersion", an
+            # invisible bug we fix: the spec name is used here).
+            tbl["dispersion"][r] = ext["KHR_materials_dispersion"].get(
+                "dispersion", 0.0
+            )
         if "KHR_materials_unlit" in ext:
             tbl["flags"][r] |= T.MATERIAL_FLAG_UNLIT
 

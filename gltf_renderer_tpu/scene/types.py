@@ -161,6 +161,9 @@ class MaterialTable(NamedTuple):
     attenuation_distance: Any  # (M,) f32
     attenuation_color: Any     # (M, 3) f32
     # Texture addresses (Material.hlsli TextureAddress:14-21), slot-indexed.
+    dispersion: Any            # (M,) f32 — KHR_materials_dispersion value;
+    # parsed + stored but not consumed by shading, matching the reference
+    # (Gltf.cpp:543-547 stores it; no shader reads it)
     tex_index: Any             # (M, N_TEX_SLOTS) int32, -1 = absent
     tex_uvset: Any             # (M, N_TEX_SLOTS) int32
     tex_rotation: Any          # (M, N_TEX_SLOTS) f32

@@ -74,7 +74,7 @@ def test_cosine_hemisphere_sampling():
 
 def test_sheen_e_table_bounds():
     t = bsdf.sheen_e_table()
-    assert t.shape == (64, 64)
+    assert t.shape == (16, 16)
     assert t.min() >= 0.0 and t.max() <= 1.0
     # Grazing view at high roughness should scatter noticeably.
     assert t[-1, 0] > 0.05

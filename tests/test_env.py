@@ -118,12 +118,15 @@ def test_exr_piz_sheen_lut():
     ref_path = "/root/reference/Resources/Sheen_E.exr"
     if not os.path.exists(ref_path):
         pytest.skip("reference EXR not available")
-    from gltf_renderer_tpu.ops.bsdf import sheen_e_table
+    from gltf_renderer_tpu.ops.bsdf import sheen_e_table, sheen_e_table_mc
 
     img = hdr_io.read_exr(ref_path)
     assert img.shape == (16, 16, 1)
     assert 0.0 <= float(img.min()) and float(img.max()) < 1.0
-    ours = sheen_e_table()
+    # The embedded table IS the reference EXR, decoded by this PIZ reader.
+    np.testing.assert_allclose(sheen_e_table(), img[..., 0], atol=1e-6)
+    # And the self-contained MC rebuild cross-validates both.
+    ours = sheen_e_table_mc()
     h, w = img.shape[:2]
     yi = np.clip(((np.arange(h) + 0.5) / h * ours.shape[0]).astype(int), 0, ours.shape[0] - 1)
     xi = np.clip(((np.arange(w) + 0.5) / w * ours.shape[1]).astype(int), 0, ours.shape[1] - 1)

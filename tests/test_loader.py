@@ -153,3 +153,20 @@ def test_texture_transform_roundtrip(tmp_path):
     b = T.MATERIAL_ROW_FACTORS + T.MATERIAL_SLOT_STRIDE * T.TEX_ALBEDO
     np.testing.assert_allclose(m.rows[1, b + 2], 0.7, atol=1e-6)
     np.testing.assert_allclose(m.rows[1, b + 3:b + 5], [0.25, 0.5])
+
+
+def test_dispersion_roundtrip(tmp_path):
+    """KHR_materials_dispersion value lands in the material table (stored,
+    unused by shading — reference parity, Gltf.cpp:543-547)."""
+    import json
+
+    path = write_box_gltf(str(tmp_path / "d.gltf"))
+    doc = json.load(open(path))
+    doc.setdefault("extensionsUsed", []).append("KHR_materials_dispersion")
+    doc["materials"][0].setdefault("extensions", {})["KHR_materials_dispersion"] = {
+        "dispersion": 0.13
+    }
+    json.dump(doc, open(path, "w"))
+    scene = load_gltf(path)
+    np.testing.assert_allclose(scene.materials.dispersion[1], 0.13, atol=1e-6)
+    np.testing.assert_allclose(scene.materials.dispersion[0], 0.0)  # default mat

@@ -1,0 +1,166 @@
+"""Tests for the gather-count optimization structures (round 2 perf work).
+
+Covers the 16-bucket counting sort that replaces argsort for octant-ordered
+packet dispatch, the sorted-dispatch scatter/gather roundtrip in
+_packet_closest, and the Walker alias table that replaces the hierarchical
+importance-map descent (same texel distribution + pdf, one gather).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gltf_renderer_tpu.ops import bvh as bvh_ops
+from gltf_renderer_tpu.ops import sampling
+from gltf_renderer_tpu.render import pathtracer as pt
+
+
+def _keys(direction, t_min, t_max):
+    return (
+        (direction[:, 0] > 0).astype(np.int32) * 4
+        + (direction[:, 1] > 0).astype(np.int32) * 2
+        + (direction[:, 2] > 0).astype(np.int32)
+        + np.where(t_min > t_max, 8, 0)
+    )
+
+
+def test_octant_positions_match_stable_argsort():
+    rs = np.random.RandomState(7)
+    n = 4096
+    d = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
+    t_min = np.zeros(n, np.float32)
+    t_max = np.where(rs.rand(n) < 0.2, -1.0, 10.0).astype(np.float32)  # dead rays
+    pos = np.asarray(pt._octant_positions(jnp.asarray(d), jnp.asarray(t_min),
+                                          jnp.asarray(t_max)))
+    # pos is a permutation.
+    assert sorted(pos.tolist()) == list(range(n))
+    key = _keys(d, t_min, t_max)
+    # Equivalent to a stable sort by key: ray r goes to index pos[r].
+    idx_stable = np.argsort(key, kind="stable")
+    expect = np.empty(n, np.int64)
+    expect[idx_stable] = np.arange(n)
+    np.testing.assert_array_equal(pos, expect)
+
+
+def test_packet_closest_sorted_roundtrip(monkeypatch):
+    """sort_rays=True must return identical hits to sort_rays=False.
+
+    The traversal is stubbed with the XLA ground truth so this runs on CPU and
+    isolates the scatter/gather reorder logic."""
+    rs = np.random.RandomState(3)
+    n_tris = 64
+    c = rs.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
+    p0 = c + rs.uniform(-0.3, 0.3, (n_tris, 3)).astype(np.float32)
+    p1 = c + rs.uniform(-0.3, 0.3, (n_tris, 3)).astype(np.float32)
+    p2 = c + rs.uniform(-0.3, 0.3, (n_tris, 3)).astype(np.float32)
+    tree = bvh_ops.build(p0, p1, p2)
+    order = np.asarray(tree.tri_order)
+    packed = bvh_ops.pack(
+        tree, p0[order], (p1 - p0)[order], (p2 - p0)[order],
+        order.astype(np.int32),
+    )
+    scene = pt.PTScene(
+        world=None, bvh=tree, packed=packed, materials=None, textures=None,
+        lights=None, env=None, sheen_table=None, wide_nodes=None,
+        wide_maps=bvh_ops.WideMaps(child_src=None, meta=None),
+    )
+    meta = pt.PTMeta(num_lights=0, has_masked=False, has_env=False, wide_root=0)
+
+    from gltf_renderer_tpu.ops import pallas_trace
+
+    def fake_traverse(wide_nodes, wide_meta, records, words, origin, direction,
+                      t_min, t_max, **kw):
+        hit = bvh_ops.intersect_closest_p(packed, origin, direction, t_min, t_max)
+        word = jnp.where(hit.tri >= 0, hit.tri, -1)
+        return hit.t, word, hit.u, hit.v
+
+    monkeypatch.setattr(pallas_trace, "traverse_packets_wide", fake_traverse)
+
+    n = 512
+    o = jnp.asarray(rs.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rs.uniform(-1, 1, (n, 3)).astype(np.float32))
+    t_min = jnp.zeros(n)
+    t_max = jnp.full(n, 20.0)
+    plain = pt._packet_closest(scene, meta, o, d, t_min, t_max, sort_rays=False)
+    srt = pt._packet_closest(scene, meta, o, d, t_min, t_max, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(srt.tri), np.asarray(plain.tri))
+    np.testing.assert_allclose(np.asarray(srt.t), np.asarray(plain.t))
+    np.testing.assert_allclose(np.asarray(srt.u), np.asarray(plain.u))
+    np.testing.assert_allclose(np.asarray(srt.v), np.asarray(plain.v))
+
+
+def _sum_mips(m):
+    mips = [jnp.asarray(m)]
+    cur = np.asarray(m)
+    while cur.shape[0] > 1:
+        cur = cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
+        mips.append(jnp.asarray(cur))
+    return mips
+
+
+def test_alias_rows_distribution_and_pdf():
+    rs = np.random.RandomState(11)
+    size = 16
+    m = (rs.rand(size, size) ** 3).astype(np.float32) + 1e-4
+    m[3, 5] = 25.0  # hotspot
+    mips = _sum_mips(m)
+    total = float(np.asarray(mips[-1])[0, 0])
+    rows = sampling.build_alias_rows(m)
+
+    # Alias invariant: expected mass per texel reproduces p exactly.
+    n = size * size
+    thresh = rows[:, 0].astype(np.float64)
+    alias = rows[:, 1].view(np.float32).view(np.int32)
+    mass = thresh.copy()
+    np.add.at(mass, alias, 1.0 - thresh)
+    p = (m.reshape(-1).astype(np.float64)) / m.sum()
+    np.testing.assert_allclose(mass / n, p, rtol=1e-5, atol=1e-9)
+
+    # Sampled pdf is the exact texel's value * size^2 / total — identical to
+    # what the hierarchical descent returns for the same texel. (NOTE the
+    # reference's ImportanceMapPdf *query* reads the (x-1, y-1) neighbor via
+    # the UVToPixel truncation quirk, Common.hlsli:12-15 — both paths keep
+    # that quirk for MIS queries; the sampler itself is exact.)
+    k = 20000
+    u4 = jnp.asarray(rs.rand(k, 4).astype(np.float32))
+    uv, pdf = sampling.sample_importance_alias(
+        jnp.asarray(rows), size, jnp.float32(total), u4
+    )
+    px = np.minimum((np.asarray(uv[:, 0]) * size).astype(int), size - 1)
+    py = np.minimum((np.asarray(uv[:, 1]) * size).astype(int), size - 1)
+    expect = size * size * m[py, px] / total
+    np.testing.assert_allclose(np.asarray(pdf), expect, rtol=1e-4)
+
+    # Histogram over texels matches p (loose MC bound).
+    px = np.minimum((np.asarray(uv[:, 0]) * size).astype(int), size - 1)
+    py = np.minimum((np.asarray(uv[:, 1]) * size).astype(int), size - 1)
+    counts = np.zeros(n)
+    np.add.at(counts, py * size + px, 1.0)
+    freq = counts / k
+    err = np.abs(freq - p)
+    bound = 4.0 * np.sqrt(np.maximum(p, 1e-6) / k) + 2e-3
+    assert (err < bound).mean() > 0.99, f"too many off-distribution texels"
+
+
+def test_alias_matches_descent_distribution():
+    """Alias sampling and hierarchical descent draw from the same texel pmf."""
+    rs = np.random.RandomState(5)
+    size = 8
+    m = (rs.rand(size, size) + 0.05).astype(np.float32)
+    mips = _sum_mips(m)
+    total = float(np.asarray(mips[-1])[0, 0])
+    rows = jnp.asarray(sampling.build_alias_rows(m))
+    k = 40000
+    u = jnp.asarray(rs.rand(k, 4).astype(np.float32))
+    uv_a, _ = sampling.sample_importance_alias(rows, size, jnp.float32(total), u)
+    uv_d, _ = sampling.sample_importance_map(mips, u[:, :2])
+
+    def hist(uv):
+        px = np.minimum((np.asarray(uv[:, 0]) * size).astype(int), size - 1)
+        py = np.minimum((np.asarray(uv[:, 1]) * size).astype(int), size - 1)
+        c = np.zeros(size * size)
+        np.add.at(c, py * size + px, 1.0)
+        return c / k
+
+    ha, hd = hist(uv_a), hist(uv_d)
+    assert np.abs(ha - hd).max() < 0.02

@@ -141,12 +141,14 @@ def main():
 
     real_shadow = pt.trace_shadow
 
-    def stub_shadow(scene_, meta_, origin, direction, t_max, alpha_shadow, active=None):
+    def stub_shadow(scene_, meta_, origin, direction, t_max, alpha_shadow,
+                    active=None, **kw):
         return jnp.ones(origin.shape[0])
 
     real_closest = pt.trace_closest
 
-    def stub_traversal(scene_, meta_, origin, direction, t_min, t_max, cull_sign=0):
+    def stub_traversal(scene_, meta_, origin, direction, t_min, t_max, cull_sign=0,
+                       sort_rays=False, **kw):
         r = origin.shape[0]
         return bvh_ops.Hit(
             t=jnp.minimum(t_max, 2.0), tri=jnp.zeros(r, jnp.int32),
