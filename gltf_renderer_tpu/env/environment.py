@@ -278,8 +278,20 @@ def build_environment(
         diffuse = build_diffuse_cube(cube_mips)
         importance = build_importance_map(cube_mips[0], cube_mips[1:])
         quads = sampling.pack_importance_quads(importance)
+        # Env radiance at each importance texel's center direction rides the
+        # alias row: NEE needs no cube lookup for the sampled direction
+        # (sub-texel deviation from the reference's bilinear cube sample at
+        # the jittered direction — see docs/PARITY.md).
+        s_imp = importance[0].shape[0]
+        tex_uv = (jnp.stack(
+            jnp.meshgrid(jnp.arange(s_imp), jnp.arange(s_imp), indexing="xy"),
+            axis=-1,
+        ).reshape(-1, 2).astype(jnp.float32) + 0.5) / s_imp
+        tex_dir = square_to_sphere(uv_to_unit_square(tex_uv))
+        tex_rgb = sample_cube_level(cube_mips[0], tex_dir)
         alias_rows = jnp.asarray(
-            sampling.build_alias_rows(np.asarray(importance[0]))
+            sampling.build_alias_rows(np.asarray(importance[0]),
+                                      np.asarray(tex_rgb))
         )
         return EnvMaps(
             cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance,
@@ -318,10 +330,12 @@ def env_sample(env: EnvMaps, u2):
     """
     if env.alias_rows is not None and u2.shape[-1] >= 4:
         size = env.importance[0].shape[0]
-        uv, pdf = sampling.sample_importance_alias(
+        uv, pdf, color = sampling.sample_importance_alias(
             env.alias_rows, size, env.importance[-1][0, 0], u2
         )
-    elif env.importance_quads:
+        direction = square_to_sphere(uv_to_unit_square(uv))
+        return direction, color, pdf / (4.0 * PI)
+    if env.importance_quads:
         uv, pdf = sampling.sample_importance_map_quads(
             env.importance_quads, env.importance[-1][0, 0], u2
         )

@@ -34,33 +34,45 @@ def _bits(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+COMPACT_SLOT_STRIDE = 16  # 7 address cols + 9 joined texture-metadata cols
+
+
 def _slot_base(slot, used_slots, compact):
     """Column of slot `slot` in a material row.
 
-    Full rows store all 15 slots; PT-scene rows are compacted to the scene's
-    static used_slots (sorted) — gather traffic scales with texture slots the
-    scene actually references."""
+    Full rows store all 15 slots x 7 address cols; PT-scene rows are
+    compacted to the scene's static used_slots (sorted) AND carry the 9
+    texture-metadata cols joined in per slot (stride 16) — the per-hit
+    metadata gather disappears."""
     if compact:
         order = tuple(sorted(used_slots))
-        return MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * order.index(slot)
+        return MATERIAL_ROW_FACTORS + COMPACT_SLOT_STRIDE * order.index(slot)
     return MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * slot
 
 
-def compact_material_rows(rows, used_slots):
-    """(M, 144) full rows -> (M, 34 + 7k padded to 8) rows with only the
-    scene's used slots, in sorted-slot order (host, scene build time)."""
+def compact_material_rows(rows, used_slots, tex_rows=None):
+    """(M, 144) full rows -> (M, 34 + 16k padded to 8) rows with only the
+    scene's used slots, in sorted-slot order, each slot's 7 address cols
+    followed by the 9 metadata cols of the texture it points at (joined by
+    tex id at scene build — host, load time)."""
     import numpy as _np
 
     rows = _np.asarray(rows)
     order = tuple(sorted(used_slots))
-    width = MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * len(order)
+    width = MATERIAL_ROW_FACTORS + COMPACT_SLOT_STRIDE * len(order)
     padded = -(-max(width, 1) // 8) * 8
     out = _np.zeros((rows.shape[0], padded), _np.float32)
     out[:, :MATERIAL_ROW_FACTORS] = rows[:, :MATERIAL_ROW_FACTORS]
+    tex = None if tex_rows is None else _np.asarray(tex_rows)
     for j, s in enumerate(order):
         src = MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * s
-        dst = MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * j
+        dst = MATERIAL_ROW_FACTORS + COMPACT_SLOT_STRIDE * j
         out[:, dst : dst + MATERIAL_SLOT_STRIDE] = rows[:, src : src + MATERIAL_SLOT_STRIDE]
+        if tex is not None and tex.shape[0]:
+            tid = rows[:, src].view(_np.int32)
+            meta = tex[_np.clip(tid, 0, tex.shape[0] - 1), :9]
+            meta[tid < 0] = 0.0
+            out[:, dst + MATERIAL_SLOT_STRIDE : dst + MATERIAL_SLOT_STRIDE + 9] = meta
     return out
 
 
@@ -97,9 +109,17 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     uv = transform_uv(uv, rot, off, scl)
     present = tid >= 0
 
-    n_tex = textures.rows.shape[0]
-    tid_c = jnp.clip(tid, 0, n_tex - 1)
-    trow = textures.rows[tid_c.reshape(-1)].reshape(tid.shape + (-1,))  # 1 gather
+    if compact:
+        # Compact rows carry the 9 texture-metadata cols joined in per slot
+        # (compact_material_rows) — zero extra gathers here.
+        trow = jnp.stack(
+            [row[:, b + MATERIAL_SLOT_STRIDE : b + MATERIAL_SLOT_STRIDE + 9]
+             for b in bases]
+        )                                                         # (k, R, 9)
+    else:
+        n_tex = textures.rows.shape[0]
+        tid_c = jnp.clip(tid, 0, n_tex - 1)
+        trow = textures.rows[tid_c.reshape(-1)].reshape(tid.shape + (-1,))  # 1 gather
     ox = trow[..., 0].astype(jnp.int32)
     oy = trow[..., 1].astype(jnp.int32)
     w = trow[..., 2].astype(jnp.int32)

@@ -2,26 +2,40 @@
 
 TPU-native replacement for DXR TraceRay (Pathtracer.cpp:344-353): the packed
 4-wide BVH (ops/bvh.build_wide_maps/assemble_wide) lives in VMEM and each grid
-step traverses ONE PACKET of rays (PACKET_ROWS x 128, the VPU register shape)
-with a shared DFS stack in SMEM:
+step traverses ONE PACKET of PACKET_ROWS x 128 rays with a DFS stack in SMEM.
 
-  - node fetch     = scalar dynamic loads from the VMEM wide-node table
-  - AABB/triangle  = full-width (rows, 128) vector ops on the VPU
-  - stack control  = scalar SMEM ops inside a while loop
-  - packet prune   = push a child only if ANY live ray hits its box
+The shape of this kernel is dictated by measured TPU latencies (tools/
+bench_sort.py lineage, docs/PERFORMANCE.md):
 
-The 4-wide layout exists because the while-loop iteration (pop + slab +
-cross-lane any + push) has ~300 ns of scalar/sync latency on TPU — testing 4
-child boxes per iteration amortizes it 4x vs a binary tree, and LEAF_SIZE=8
-halves leaf pops. Lanes whose interval is empty (t_min > t_max) are dead and
-never extend traversal; any_hit mode collapses a lane's t_best to -inf on its
-first accepted hit so the lane stops driving descent (ACCEPT_FIRST_HIT
-semantics, PathTracer.lib.hlsl:1053-1079).
+  - A traversal step's critical path (SMEM pop -> dynamic VMEM row load ->
+    vector box tests -> cross-lane reduce -> scalar push) is ~650 ns of
+    LATENCY, while its vector work is only ~100 ns. Scalar extracts from a
+    loaded row cost ~4 ns each — essentially free.
+  - Therefore: (a) packets are BIG — 32 rows = 4096 rays — so each chain
+    latency is paid once per ~4x more rays (measured optimum: 8-row packets
+    32.5 ms, 32-row 26.8 ms, 128-row 49 ms on the 48k-tri bench scene; the
+    union effect takes over past ~32 rows); (b) leaf triangle tests are NOT
+    run at pop time — leaf entries are buffered in an SMEM queue and flushed
+    4 at a time (the 4 leaf tests are independent, so they pipeline);
+    (c) the 4 per-child cross-lane any() reductions are folded into 2 summed
+    reductions (counts packed in 11-bit fields).
+  - Descent is branch-free: a popped leaf box-tests a DUMMY node row
+    (far-point boxes that never hit -> zero pushes) instead of taking a
+    lax.cond branch per entry type.
+
+Deferred leaf processing means descent prunes on a t_best that lags by up to
+3 leaves — a few extra node visits, repaid many times by the pipelining.
+
+Lanes whose interval is empty (t_min > t_max) are dead and never extend
+traversal; any_hit mode collapses a lane's t_best to NEG_BIG on its first
+accepted hit so the lane stops driving descent (ACCEPT_FIRST_HIT semantics,
+PathTracer.lib.hlsl:1053-1079). any_hit="lane" mixes closest and any-hit
+rays in one dispatch (per-lane mode input — the merged bounce+shadow path).
 
 Coherent packets visit near the per-ray optimum; incoherent bounce/shadow
-packets degrade toward the union — the path tracer octant-sorts those before
-dispatch (render/pathtracer.trace order). Scenes must fit VMEM; larger scenes
-fall back to the XLA path (render/pathtracer chooses).
+packets degrade toward the union — the path tracer tile-orders primary rays
+and locality+octant-sorts secondary rays before dispatch (render/pathtracer).
+Scenes must fit VMEM; larger scenes fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -42,65 +56,130 @@ from gltf_renderer_tpu.ops.bvh import (
     WIDE_ID_MASK,
 )
 
-PACKET_ROWS = 8          # rays per packet = PACKET_ROWS * 128
+PACKET_ROWS = 32         # rays per packet = PACKET_ROWS * 128 = 4096
 LANES = 128
-MAX_STACK = 96
+MAX_STACK = 128
+QCAP = 8                 # leaf queue slots per packet (flushes keep qn <= 5)
+FLUSH = 4                # leaves per flush batch
 PACKET = PACKET_ROWS * LANES
 NEG_BIG = -3.0e38  # python literal: a jnp constant would be captured as input
 
 
 def _traverse_kernel(
-    nodes_ref,    # (N4, 24) VMEM wide box rows (f32)
-    meta_ref,     # (N4, 4) VMEM wide child meta words (i32)
+    nodes_ref,    # (N4+1, 24) VMEM wide box rows (f32; last row = dummy)
+    meta_ref,     # (N4+1, 4) VMEM wide child meta words (i32)
     recs_ref,     # (N, REC_GEO) VMEM binary leaf geometry (f32)
     words_ref,    # (N, LEAF_SIZE) VMEM id/flag words (i32)
-    ox_ref, oy_ref, oz_ref,       # (ROWS, 128) VMEM per packet
+    ox_ref, oy_ref, oz_ref,       # (PACKET_ROWS, 128) VMEM
     dx_ref, dy_ref, dz_ref,
     tmin_ref, tmax_ref,
-    # outputs
-    t_ref, u_ref, v_ref, word_ref,
-    # scratch
-    stack_ref,    # SMEM (MAX_STACK,) int32
-    *,
+    *rest,
+    # rest = [mode_ref?] + outputs (t, u, v, word) + scratch (stack, queue)
     root_meta: int,
-    any_hit: bool,
+    any_hit,      # True | False | "lane" (per-lane mode_ref input present)
     cull_sign: int,
     blend_mode: int,
+    dummy_id: int,
 ):
     from gltf_renderer_tpu.ops.bvh import BLEND_EXCLUDE, BLEND_ONLY, FLAG_BLEND, FLAG_DOUBLE_SIDED
 
-    ox = ox_ref[:, :]
-    oy = oy_ref[:, :]
-    oz = oz_ref[:, :]
-    dx = dx_ref[:, :]
-    dy = dy_ref[:, :]
-    dz = dz_ref[:, :]
-    t_min = tmin_ref[:, :]
-    t_cap = tmax_ref[:, :]
+    if any_hit == "lane":
+        mode_ref, t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
+    else:
+        mode_ref = None
+        t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
 
     big = jnp.float32(1e30)
-    inv_x = jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, jnp.sign(dx) * big + big)
-    inv_y = jnp.where(jnp.abs(dy) > 1e-20, 1.0 / dy, jnp.sign(dy) * big + big)
-    inv_z = jnp.where(jnp.abs(dz) > 1e-20, 1.0 / dz, jnp.sign(dz) * big + big)
 
-    stack_ref[0] = root_meta
+    def load_packet():
+        ox = ox_ref[:, :]
+        oy = oy_ref[:, :]
+        oz = oz_ref[:, :]
+        dx = dx_ref[:, :]
+        dy = dy_ref[:, :]
+        dz = dz_ref[:, :]
+        t_min = tmin_ref[:, :]
+        t_cap = tmax_ref[:, :]
+        inv_x = jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, jnp.sign(dx) * big + big)
+        inv_y = jnp.where(jnp.abs(dy) > 1e-20, 1.0 / dy, jnp.sign(dy) * big + big)
+        inv_z = jnp.where(jnp.abs(dz) > 1e-20, 1.0 / dz, jnp.sign(dz) * big + big)
+        lane_any = (mode_ref[:, :] > 0) if mode_ref is not None else None
+        return dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                    inv_x=inv_x, inv_y=inv_y, inv_z=inv_z,
+                    t_min=t_min, t_cap=t_cap, lane_any=lane_any)
 
-    def cond(state):
-        sp, _best = state
-        return sp > 0
+    def descent_step(sp, qn, sbase, qbase, pend, t_best, rays):
+        """Software-pipelined pop: FIRST apply the pushes decided by the
+        PREVIOUS iteration's box tests (their cross-lane reduce results ride
+        the loop state, so the reduce latency — the long pole of the serial
+        chain — overlaps this iteration's load + vector work), THEN pop the
+        top and box-test it for the NEXT iteration.
 
-    def body(state):
-        sp, best = state
-        t_best, u_best, v_best, w_best = best
-        entry = stack_ref[sp - 1]
-        sp = sp - 1
-        is_leaf = (entry & WIDE_LEAF_BIT) != 0
+        Branch-free: leaves (and idle packets) box-test the dummy row, whose
+        far-point boxes never hit, so their deferred pushes are zero. DFS
+        order is preserved — children of the entry popped last iteration are
+        pushed 3..0 right before this pop, so child 0 pops now."""
+        s01, s23, m0, m1, m2, m3 = pend
+        pushes = [
+            ((s01 & 16383) > 0).astype(jnp.int32),
+            ((s01 >> 14) > 0).astype(jnp.int32),
+            ((s23 & 16383) > 0).astype(jnp.int32),
+            ((s23 >> 14) > 0).astype(jnp.int32),
+        ]
+        # Push c=3..0 so child 0 (front by build order) pops first.
+        for c, m in ((3, m3), (2, m2), (1, m1), (0, m0)):
+            stack_ref[sbase + sp] = m
+            sp = sp + pushes[c]
 
-        def handle_leaf(sp):
-            node = entry & WIDE_ID_MASK
-            rrow = recs_ref[node, :]
-            wrow = words_ref[node, :]
-            tb, ub, vb, wb = t_best, u_best, v_best, w_best
+        active = sp > 0
+        entry = stack_ref[sbase + jnp.maximum(sp - 1, 0)]
+        sp1 = jnp.maximum(sp - 1, 0)
+        e_is_leaf = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) != 0)
+        e_is_int = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) == 0)
+        node = jnp.where(e_is_int, entry & WIDE_ID_MASK, dummy_id)
+        nrow = nodes_ref[node, :]
+        mrow = meta_ref[node, :]
+        bits = []
+        for c in range(4):
+            lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
+            hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
+            tx0 = (lox - rays["ox"]) * rays["inv_x"]
+            tx1 = (hix - rays["ox"]) * rays["inv_x"]
+            ty0 = (loy - rays["oy"]) * rays["inv_y"]
+            ty1 = (hiy - rays["oy"]) * rays["inv_y"]
+            tz0 = (loz - rays["oz"]) * rays["inv_z"]
+            tz1 = (hiz - rays["oz"]) * rays["inv_z"]
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            box_hit = (tf >= jnp.maximum(tn, rays["t_min"])) & (tn <= t_best)
+            bits.append(box_hit.astype(jnp.int32))
+        # 2 cross-lane reductions instead of 4: lane counts (<= 4096) packed
+        # in 14-bit fields survive an integer sum exactly. Results are NOT
+        # consumed here — they are applied at the top of the next iteration.
+        n01 = jnp.sum(bits[0] + (bits[1] << 14))
+        n23 = jnp.sum(bits[2] + (bits[3] << 14))
+        # Leaf entries buffer into the SMEM queue (flushed in batches).
+        queue_ref[qbase + qn] = entry & WIDE_ID_MASK
+        qn = qn + e_is_leaf.astype(jnp.int32)
+        return sp1, qn, (n01, n23, mrow[0], mrow[1], mrow[2], mrow[3])
+
+    def leaf_flush(qn, best, qbase, rays):
+        """Test FLUSH buffered leaves (clamped duplicate reads pad short
+        queues — re-testing a leaf is idempotent for every accept rule)."""
+        t_b, u_b, v_b, w_b = best
+        t_min = rays["t_min"]
+        t_cap = rays["t_cap"]
+        lane_any = rays["lane_any"]
+        for j in range(FLUSH):
+            leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
+            rrow = recs_ref[leaf, :]
+            wrow = words_ref[leaf, :]
             for k in range(LEAF_SIZE):
                 p0x, p0y, p0z = rrow[9 * k], rrow[9 * k + 1], rrow[9 * k + 2]
                 e1x, e1y, e1z = rrow[9 * k + 3], rrow[9 * k + 4], rrow[9 * k + 5]
@@ -108,19 +187,19 @@ def _traverse_kernel(
                 word = wrow[k]
 
                 # Möller–Trumbore (components, vector over packet).
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
+                pvx = rays["dy"] * e2z - rays["dz"] * e2y
+                pvy = rays["dz"] * e2x - rays["dx"] * e2z
+                pvz = rays["dx"] * e2y - rays["dy"] * e2x
                 det = e1x * pvx + e1y * pvy + e1z * pvz
                 inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                tvx = ox - p0x
-                tvy = oy - p0y
-                tvz = oz - p0z
+                tvx = rays["ox"] - p0x
+                tvy = rays["oy"] - p0y
+                tvz = rays["oz"] - p0z
                 uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
                 qvx = tvy * e1z - tvz * e1y
                 qvy = tvz * e1x - tvx * e1z
                 qvz = tvx * e1y - tvy * e1x
-                vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                vv = (rays["dx"] * qvx + rays["dy"] * qvy + rays["dz"] * qvz) * inv_det
                 tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                 h = (
                     (jnp.abs(det) > 1e-12)
@@ -128,7 +207,7 @@ def _traverse_kernel(
                     & (vv >= 0.0)
                     & (uu + vv <= 1.0)
                     & (tt > t_min)
-                    & (tt < tb)
+                    & (tt < t_b)
                 )
                 h = jnp.logical_and(h, word >= 0)
                 if blend_mode == BLEND_EXCLUDE:
@@ -137,58 +216,77 @@ def _traverse_kernel(
                     h = jnp.logical_and(h, (word & FLAG_BLEND) != 0)
                 if cull_sign:
                     culled = (det * cull_sign < 0.0) & ((word & FLAG_DOUBLE_SIDED) == 0)
+                    if any_hit == "lane":
+                        # Mixed dispatch: culling applies to the closest-hit
+                        # (bounce) lanes only; shadow any-hit lanes never cull.
+                        culled = culled & jnp.logical_not(lane_any)
                     h = jnp.logical_and(h, jnp.logical_not(culled))
-                if any_hit:
-                    h = jnp.logical_and(h, tt < t_cap)
-                    # First accepted hit retires the lane: t_best collapses so
-                    # no box test (tn <= t_best) can pass for it again.
-                    tb = jnp.where(h, NEG_BIG, tb)
+                if any_hit == "lane":
+                    # Any-hit lanes retire on first accept (t_best -> NEG_BIG
+                    # kills every later box/tri test for them); closest lanes
+                    # shrink t_best normally.
+                    t_b = jnp.where(h, jnp.where(lane_any, NEG_BIG, tt), t_b)
+                elif any_hit:
+                    # First accepted hit retires the lane.
+                    t_b = jnp.where(h, NEG_BIG, t_b)
                 else:
-                    tb = jnp.where(h, tt, tb)
-                ub = jnp.where(h, uu, ub)
-                vb = jnp.where(h, vv, vb)
-                wb = jnp.where(h, word, wb)
-            return sp, (tb, ub, vb, wb)
+                    t_b = jnp.where(h, tt, t_b)
+                u_b = jnp.where(h, uu, u_b)
+                v_b = jnp.where(h, vv, v_b)
+                w_b = jnp.where(h, word, w_b)
+        return jnp.maximum(qn - FLUSH, 0), (t_b, u_b, v_b, w_b)
 
-        def handle_internal(sp):
-            node = entry
-            nrow = nodes_ref[node, :]
-            mrow = meta_ref[node, :]
-            # Push c=3..0 so child 0 (front by build order) pops first.
-            for c in range(3, -1, -1):
-                lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
-                hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
-                meta = mrow[c]
+    rays = load_packet()
 
-                tx0 = (lox - ox) * inv_x
-                tx1 = (hix - ox) * inv_x
-                ty0 = (loy - oy) * inv_y
-                ty1 = (hiy - oy) * inv_y
-                tz0 = (loz - oz) * inv_z
-                tz1 = (hiz - oz) * inv_z
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                box_hit = (tf >= jnp.maximum(tn, t_min)) & (tn <= t_best)
-                push = jnp.any(box_hit).astype(jnp.int32)
-                stack_ref[sp] = meta
-                sp = sp + push
-            return sp, (t_best, u_best, v_best, w_best)
-
-        return jax.lax.cond(is_leaf, handle_leaf, handle_internal, sp)
-
-    init_best = (
-        t_cap,
-        jnp.zeros_like(t_cap),
-        jnp.zeros_like(t_cap),
-        jnp.full(t_cap.shape, -1, jnp.int32),
+    best0 = (
+        rays["t_cap"],
+        jnp.zeros_like(rays["t_cap"]),
+        jnp.zeros_like(rays["t_cap"]),
+        jnp.full(rays["t_cap"].shape, -1, jnp.int32),
     )
-    _, best = jax.lax.while_loop(cond, body, (1, init_best))
+    # Seed the pipeline with a pending "push the root" (count 1 in field 0):
+    # the first iteration's push phase materializes it on the stack.
+    pend0 = (jnp.int32(1), jnp.int32(0), jnp.int32(root_meta),
+             jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    # Two-level loop: the HOT inner loop is pure descent with no lax.cond at
+    # all (a big-branch cond in the hot loop taxes every iteration with the
+    # region's state spill, measured ~0.3-0.5 us/iter); it exits when the
+    # leaf queue fills or the stack drains. The outer loop flushes between
+    # inner runs (~leaves/FLUSH times per packet, not once per pop).
+    def live(state):
+        sp, _qn, pend, _best = state
+        return (sp > 0) | (pend[0] != 0) | (pend[1] != 0)
+
+    def inner_cond(state):
+        return live(state) & (state[1] < FLUSH)
+
+    def inner_body(state):
+        sp, qn, pend, best = state
+        sp, qn, pend = descent_step(sp, qn, 0, 0, pend, best[0], rays)
+        return sp, qn, pend, best
+
+    def outer_body(state):
+        state = jax.lax.while_loop(inner_cond, inner_body, state)
+        sp, qn, pend, best = state
+        qn, best = jax.lax.cond(
+            qn >= FLUSH,
+            lambda q, b: leaf_flush(q, b, 0, rays),
+            lambda q, b: (q, b), qn, best,
+        )
+        return sp, qn, pend, best
+
+    _, qn, _, best = jax.lax.while_loop(
+        live, outer_body, (0, 0, pend0, best0)
+    )
+
+    # Drain leftover queued leaves (< FLUSH of them; clamped reads duplicate).
+    _, best = jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        lambda s: leaf_flush(s[0], s[1], 0, rays),
+        (qn, best),
+    )
+
     t_ref[:, :] = best[0]
     u_ref[:, :] = best[1]
     v_ref[:, :] = best[2]
@@ -209,15 +307,17 @@ def traverse_packets_wide(
     t_min,       # (R,)
     t_max,       # (R,)
     root_meta: int = 0,
-    any_hit: bool = False,
+    any_hit=False,  # False | True | "lane" (then `mode` (R,) i32 required)
     cull_sign: int = 0,
     blend_mode: int = 0,
     interpret: bool = False,
+    mode=None,   # (R,) int32: >0 = any-hit lane (any_hit == "lane" only)
 ):
     """Packet traversal over all rays. Returns (t, tri_word, u, v) flat (R,).
 
-    Rays are padded to a multiple of PACKET; each packet is one grid step.
-    In any_hit mode, a hit lane reports word >= 0 and t is NOT meaningful.
+    Rays are padded to a multiple of PACKET (4096); each grid step runs one
+    32-row packet. In any_hit mode (global or per-lane), a hit lane reports
+    word >= 0 and t is NOT meaningful.
     """
     r = origin.shape[0]
     n_pack = -(-r // PACKET)
@@ -236,6 +336,16 @@ def traverse_packets_wide(
     tmn = prep(t_min, 1.0)
     tmx = prep(jnp.broadcast_to(t_max, t_min.shape), 0.0)  # pad: t_max < t_min
 
+    # Dummy node row: far-point boxes that never hit (same sentinel as empty
+    # wide children, ops/bvh._EMPTY_BOX) — popped leaves box-test this row.
+    dummy_id = wide_nodes.shape[0]
+    nodes_x = jnp.concatenate(
+        [wide_nodes, jnp.full((1, 24), 3.0e38, jnp.float32)]
+    )
+    meta_x = jnp.concatenate(
+        [wide_meta, jnp.full((1, 4), WIDE_LEAF_BIT, jnp.int32)]
+    )
+
     grid = (n_pack,)
     ray_spec = pl.BlockSpec(
         (PACKET_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -248,6 +358,7 @@ def traverse_packets_wide(
         any_hit=any_hit,
         cull_sign=cull_sign,
         blend_mode=blend_mode,
+        dummy_id=dummy_id,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_pack * PACKET_ROWS, LANES), jnp.float32),
@@ -255,16 +366,25 @@ def traverse_packets_wide(
         jax.ShapeDtypeStruct((n_pack * PACKET_ROWS, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_pack * PACKET_ROWS, LANES), jnp.int32),
     ]
+    extra = []
+    n_ray_specs = 8
+    if any_hit == "lane":
+        extra = [prep(mode.astype(jnp.int32), 0)]
+        n_ray_specs = 9
     t, u, v, word = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec] * 4 + [ray_spec] * 8,
+        in_specs=[table_spec] * 4 + [ray_spec] * n_ray_specs,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((QCAP,), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wide_nodes, wide_meta, records, words, ox, oy, oz, dx, dy, dz, tmn, tmx)
+    )(nodes_x, meta_x, records, words, ox, oy, oz, dx, dy, dz, tmn, tmx,
+      *extra)
 
     t = t.reshape(-1)[:r]
     u = u.reshape(-1)[:r]

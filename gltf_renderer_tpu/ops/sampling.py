@@ -177,15 +177,18 @@ def sample_importance_map_quads(quads, total, u):
     return uv, pdf
 
 
-def build_alias_rows(importance_map) -> "np.ndarray":
+def build_alias_rows(importance_map, texel_rgb=None) -> "np.ndarray":
     """Walker/Vose alias table over the luminance-sum map (host, load time).
 
     TPU-native replacement for the hierarchical descent's 10 dependent
     gathers (Sampling.hlsli:123-163): samples the SAME texel distribution
-    (p_i = value_i / total) with ONE row gather. Rows are (S*S, 4) f32:
-    [keep_threshold, alias_index (bitcast i32), value_self, value_alias] —
-    value columns reproduce pdf = S^2 * value / total exactly as
-    importance_map_pdf does, so MIS weights stay consistent.
+    (p_i = value_i / total) with ONE row gather. Rows are (S*S, 10) f32:
+    [keep_threshold, alias_index (bitcast i32), value_self, value_alias,
+     rgb_self(3), rgb_alias(3)] — value columns reproduce
+    pdf = S^2 * value / total exactly as importance_map_pdf does, so MIS
+    weights stay consistent, and the rgb columns (env radiance at the texel
+    center, when given) let NEE skip the cube lookup for the sampled
+    direction entirely.
     """
     import numpy as np
 
@@ -207,11 +210,15 @@ def build_alias_rows(importance_map) -> "np.ndarray":
         (small if q[l] < 1.0 else large).append(l)
     # Leftovers (numerical slack) keep themselves with probability 1.
     vals = np.asarray(importance_map, np.float32).reshape(-1)
-    rows = np.empty((n, 4), np.float32)
+    rows = np.zeros((n, 10), np.float32)
     rows[:, 0] = thresh.astype(np.float32)
     rows[:, 1] = alias.astype(np.int32).view(np.float32)
     rows[:, 2] = vals
     rows[:, 3] = vals[alias]
+    if texel_rgb is not None:
+        rgb = np.asarray(texel_rgb, np.float32).reshape(n, 3)
+        rows[:, 4:7] = rgb
+        rows[:, 7:10] = rgb[alias]
     return rows
 
 
@@ -221,8 +228,9 @@ def sample_importance_alias(rows, size, total, u4):
     u4: (R, 4) uniforms — bucket pick, alias branch, in-texel x, in-texel y
     (the reference generates 4 random components per step and the descent
     consumes only 2, Random.hlsli pcg4d; here all 4 are used). Returns
-    (uv, pdf) in square measure, identical in distribution and pdf to
-    sample_importance_map."""
+    (uv, pdf, rgb) in square measure, identical in distribution and pdf to
+    sample_importance_map; rgb is the chosen texel's env radiance (zeros if
+    the table was built without colors)."""
     n = size * size
     b = jnp.minimum((u4[..., 0] * n).astype(jnp.int32), n - 1)
     r = rows[b]
@@ -230,13 +238,14 @@ def sample_importance_alias(rows, size, total, u4):
     alias_idx = jax.lax.bitcast_convert_type(r[..., 1], jnp.int32)
     texel = jnp.where(take_alias, alias_idx, b)
     value = jnp.where(take_alias, r[..., 3], r[..., 2])
+    rgb = jnp.where(take_alias[..., None], r[..., 7:10], r[..., 4:7])
     px = (texel % size).astype(jnp.float32)
     py = (texel // size).astype(jnp.float32)
     uv = jnp.stack(
         [(px + u4[..., 2]) / size, (py + u4[..., 3]) / size], axis=-1
     )
     pdf = float(size) * float(size) * value / jnp.maximum(total, 1e-30)
-    return uv, pdf
+    return uv, pdf, rgb
 
 
 def sample_importance_map(mips, u):

@@ -17,6 +17,7 @@ progressive accumulation (:776-786) all follow the reference.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional
 
 import numpy as np
@@ -119,7 +120,7 @@ def _counting_positions(key, n_buckets):
     return offsets[key] + rank
 
 
-def _octant_positions(direction, t_min, t_max, spatial_bucket=None):
+def _octant_positions(direction, t_min, t_max, spatial_bucket=None, any_flag=None):
     """Packet-coherence ordering for incoherent (bounce/shadow) rays.
 
     Base key: direction octant, dead rays (t_min > t_max) last. When
@@ -127,27 +128,35 @@ def _octant_positions(direction, t_min, t_max, spatial_bucket=None):
     index of the hit the ray starts from, which is spatially sorted by the
     SAH build), a second stable counting pass groups by locality THEN octant:
     secondary packets become near-primary coherent instead of union-traversing
-    the whole tree."""
-    key = (
+    the whole tree. any_flag (merged bounce+shadow dispatches) splits the two
+    ray populations into different packets within each locality region —
+    mixed packets union two unrelated traversal footprints."""
+    octant = (
         (direction[:, 0] > 0).astype(jnp.int32) * 4
         + (direction[:, 1] > 0).astype(jnp.int32) * 2
         + (direction[:, 2] > 0).astype(jnp.int32)
-        + jnp.where(t_min > t_max, 8, 0)
     )
-    pos1 = _counting_positions(key, 16)
+    dead = t_min > t_max
+    if any_flag is not None:
+        key = jnp.where(dead, 16, octant + 8 * any_flag)
+        pos1 = _counting_positions(key, 17)
+    else:
+        key = octant + jnp.where(dead, 8, 0)
+        pos1 = _counting_positions(key, 16)
     if spatial_bucket is None:
         return pos1
     # LSD radix: octant pass above (minor), locality pass below (major).
     # Dead rays go to the last locality bucket so they pack together and
     # their packets terminate after one root test.
-    spatial_bucket = jnp.where(t_min > t_max, 15, spatial_bucket)
+    spatial_bucket = jnp.where(dead, 15, spatial_bucket)
     sb = jnp.zeros_like(spatial_bucket).at[pos1].set(spatial_bucket)
     pos2 = _counting_positions(sb, 16)
     return pos2[pos1]
 
 
 def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
-                    cull_sign=0, any_hit=False, sort_rays=False, sort_spatial=None):
+                    cull_sign=0, any_hit=False, sort_rays=False, sort_spatial=None,
+                    mode=None):
     from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
 
     t_max = jnp.broadcast_to(t_max, t_min.shape)
@@ -163,15 +172,17 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
             bucket = jnp.clip(sort_spatial, 0, None) * 16 // n_slots
         else:
             bucket = None
-        pos = _octant_positions(direction, t_min, t_max, bucket)
-        cols = jnp.concatenate(
-            [origin, direction, t_min[:, None], t_max[:, None]], axis=1
-        )
+        pos = _octant_positions(direction, t_min, t_max, bucket, any_flag=mode)
+        cols = [origin, direction, t_min[:, None], t_max[:, None]]
+        if mode is not None:
+            cols.append(mode.astype(jnp.float32)[:, None])
+        cols = jnp.concatenate(cols, axis=1)
         sorted_cols = jnp.zeros_like(cols).at[pos].set(cols)
         hit = _packet_closest(
             scene, meta, sorted_cols[:, 0:3], sorted_cols[:, 3:6],
             sorted_cols[:, 6], sorted_cols[:, 7],
             blend_mode=blend_mode, cull_sign=cull_sign, any_hit=any_hit,
+            mode=sorted_cols[:, 8].astype(jnp.int32) if mode is not None else None,
         )
         # tri rides the float gather as a VALUE (exact for |tri| < 2^24), NOT a
         # bitcast: small-int bit patterns are f32 denormals, which the TPU
@@ -188,8 +199,9 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
         scene.wide_nodes, scene.wide_maps.meta,
         scene.packed.records, scene.packed.words,
         origin, direction, t_min, t_max,
-        root_meta=meta.wide_root, any_hit=any_hit,
-        cull_sign=cull_sign, blend_mode=blend_mode,
+        root_meta=meta.wide_root,
+        any_hit="lane" if mode is not None else any_hit,
+        cull_sign=cull_sign, blend_mode=blend_mode, mode=mode,
     )
     tri = jnp.where(word >= 0, word & bvh_ops.ID_MASK, -1)
     return bvh_ops.Hit(t=t, tri=tri, u=u, v=v)
@@ -272,12 +284,16 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         has_transmission=has_transmission,
         has_alpha_layer=has_masked or has_blend_mode,
     )
-    # Compact material rows to the scene's used slots: gather traffic per hit
-    # scales with textures the scene references, not the 15-slot layout.
+    # Compact material rows to the scene's used slots, with each slot's
+    # texture metadata joined in: per-hit shading needs ONE material-row
+    # gather + ONE atlas gather, no metadata gather.
     from gltf_renderer_tpu.ops.material import compact_material_rows
 
+    tex_rows_np = None if textures.rows is None else np.asarray(textures.rows)
     materials = materials._replace(
-        rows=jnp.asarray(compact_material_rows(np.asarray(materials.rows), used_slots))
+        rows=jnp.asarray(compact_material_rows(
+            np.asarray(materials.rows), used_slots, tex_rows_np
+        ))
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
     wide_maps, wide_root = bvh_ops.build_wide_maps(tree)
@@ -472,6 +488,68 @@ def _hit_base_alpha(scene: PTScene, meta: PTMeta, tri, u, v):
     return base[..., 3], mrow
 
 
+def trace_bounce_and_shadow(
+    scene: PTScene, meta: PTMeta,
+    o_b, d_b, tmin_b, tmax_b,       # next-bounce closest rays
+    o_s, d_s, tmin_s, tmax_s,       # binary shadow rays (same hit points)
+    cull_sign=0, sort_spatial=None, trace_bounce=True,
+):
+    """ONE merged packet dispatch for the next-bounce closest rays and the
+    binary env-NEE shadow rays born at the same hit points: one sort, one
+    kernel launch, shared packets (both halves share origin locality, so the
+    merged counting sort groups them into coherent mixed packets).
+
+    Shadow half = ACCEPT_FIRST_HIT binary semantics (ShadowAnyHit,
+    PathTracer.lib.hlsl:1053-1079); bounce half = closest hit with the
+    masked-alpha retraversal loop. Returns (bounce Hit, shadow transmission).
+    """
+    def shadow_only():
+        return trace_shadow(
+            scene, meta, o_s, d_s, tmax_s, alpha_shadow=False,
+            active=tmin_s <= tmax_s, sort_spatial=sort_spatial,
+        )
+
+    if not trace_bounce:
+        r = o_b.shape[0]
+        hit = bvh_ops.Hit(
+            t=jnp.broadcast_to(tmax_b, (r,)), tri=jnp.full(r, -1, jnp.int32),
+            u=jnp.zeros(r), v=jnp.zeros(r),
+        )
+        return hit, shadow_only()
+    if not meta.use_pallas:
+        hit = trace_closest(
+            scene, meta, o_b, d_b, tmin_b, tmax_b, cull_sign=cull_sign,
+            sort_rays=True, sort_spatial=sort_spatial,
+        )
+        return hit, shadow_only()
+
+    r = o_b.shape[0]
+    origin = jnp.concatenate([o_b, o_s])
+    direction = jnp.concatenate([d_b, d_s])
+    t_min = jnp.concatenate([tmin_b, tmin_s])
+    t_max = jnp.concatenate([jnp.broadcast_to(tmax_b, (r,)),
+                             jnp.broadcast_to(tmax_s, (r,))])
+    lane_mode = jnp.concatenate(
+        [jnp.zeros(r, jnp.int32), jnp.ones(r, jnp.int32)]
+    )
+    spatial2 = (
+        jnp.concatenate([sort_spatial, sort_spatial])
+        if sort_spatial is not None else None
+    )
+    hit2 = _packet_closest(
+        scene, meta, origin, direction, t_min, t_max,
+        cull_sign=cull_sign, sort_rays=True, sort_spatial=spatial2,
+        mode=lane_mode,
+    )
+    hit = bvh_ops.Hit(t=hit2.t[:r], tri=hit2.tri[:r], u=hit2.u[:r], v=hit2.v[:r])
+    occluded = hit2.tri[r:] >= 0
+    trans = jnp.where(occluded, 0.0, 1.0)
+    if meta.has_masked:
+        hit = _alpha_retry(scene, meta, hit, o_b, d_b, tmin_b, tmax_b,
+                           cull_sign, True, sort_spatial)
+    return hit, trans
+
+
 def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max, cull_sign=0,
                   sort_rays=False, sort_spatial=None):
     """Closest hit honoring alpha-mask any-hit rejection.
@@ -484,6 +562,14 @@ def trace_closest(scene: PTScene, meta: PTMeta, origin, direction, t_min, t_max,
                       sort_rays=sort_rays, sort_spatial=sort_spatial)
     if not meta.has_masked:
         return hit
+    return _alpha_retry(scene, meta, hit, origin, direction, t_min, t_max,
+                        cull_sign, sort_rays, sort_spatial)
+
+
+def _alpha_retry(scene: PTScene, meta: PTMeta, hit, origin, direction, t_min, t_max,
+                 cull_sign, sort_rays, sort_spatial):
+    """The masked-alpha IgnoreHit retraversal loop (shared by trace_closest
+    and the merged bounce+shadow dispatch)."""
 
     def cond(state):
         need_retry, _hit, _tmin, it = state
@@ -840,6 +926,33 @@ def _default_ray_chunk():
 RAY_CHUNK = _default_ray_chunk()
 
 
+PACKET_TILE = 32  # pixels per packet tile side: 32*32 = one 1024-ray packet
+
+
+@functools.lru_cache(maxsize=8)
+def _tile_order(w: int, h: int, tile: int = PACKET_TILE):
+    """Pixel emission order that makes each traversal packet a compact 2D
+    tile instead of a 2-row scanline strip.
+
+    A 1024-ray packet in scanline order spans the full image width — its rays'
+    traversal UNION is near the whole tree, which is what the packet kernel
+    pays (measured ~48 ms per 262k coherent rays). In 32x32-tile order the
+    union is a narrow frustum. Returns (px, py, inverse) host arrays: pixel
+    k of the traced stream is (px[k], py[k]) and image_flat[inverse] = stream.
+    """
+    ty, tx = np.meshgrid(np.arange(0, h, tile), np.arange(0, w, tile), indexing="ij")
+    iy, ix = np.meshgrid(np.arange(tile), np.arange(tile), indexing="ij")
+    px = (tx.reshape(-1, 1) + ix.reshape(1, -1)).reshape(-1)
+    py = (ty.reshape(-1, 1) + iy.reshape(1, -1)).reshape(-1)
+    keep = (px < w) & (py < h)
+    px = px[keep].astype(np.int32)
+    py = py[keep].astype(np.int32)
+    flat = py.astype(np.int64) * w + px
+    inverse = np.empty(w * h, np.int64)
+    inverse[flat] = np.arange(w * h)
+    return px, py, inverse
+
+
 def trace(
     scene: PTScene,
     meta: PTMeta,
@@ -862,15 +975,16 @@ def trace(
     w, h = resolution
     if full_resolution is None:
         full_resolution = resolution
-    py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    px = px.reshape(-1) + pixel_offset[0]
-    py = py.reshape(-1) + pixel_offset[1]
+    px_t, py_t, inverse = _tile_order(w, h)
+    px = jnp.asarray(px_t) + pixel_offset[0]
+    py = jnp.asarray(py_t) + pixel_offset[1]
     n = px.shape[0]
 
     if n <= RAY_CHUNK:
         color, stats = _trace_rays(
             scene, meta, settings, params, clip_to_world, full_resolution, seed, px, py
         )
+        color = color[jnp.asarray(inverse)]
         if with_stats:
             return color.reshape(h, w, 3), stats
         return color.reshape(h, w, 3)
@@ -887,7 +1001,7 @@ def trace(
         )
 
     colors, stats = jax.lax.map(chunk_fn, (px_p, py_p))
-    color = colors.reshape(-1, 3)[:n]
+    color = colors.reshape(-1, 3)[:n][jnp.asarray(inverse)]
     if with_stats:
         return color.reshape(h, w, 3), jnp.sum(stats, 0)
     return color.reshape(h, w, 3)
@@ -917,9 +1031,7 @@ def trace_chunked(
     if _trace_rays_jit is None:
         _trace_rays_jit = jax.jit(_trace_rays, static_argnums=(1, 2, 5))
     w, h = resolution
-    py_g, px_g = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    px_f = px_g.reshape(-1)
-    py_f = py_g.reshape(-1)
+    px_f, py_f, inverse = _tile_order(w, h)
     n = px_f.shape[0]
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -934,7 +1046,7 @@ def trace_chunked(
         )
         outs.append(col)
         rays_total.append(rays)
-    color = jnp.concatenate(outs, 0)[:n].reshape(h, w, 3)
+    color = jnp.concatenate(outs, 0)[:n][jnp.asarray(inverse)].reshape(h, w, 3)
     if with_stats:
         # Each per-chunk stats vector is [ray_count, nan_count].
         return color, jnp.sum(jnp.stack(rays_total), 0)
@@ -990,21 +1102,16 @@ def _trace_rays(
     primary_cull = 1 if settings.cull_backface else 0
     bounce_cull = -1 if settings.cull_backface else 0
 
+    # Primary trace; every later bounce's closest trace rides the SAME packet
+    # dispatch as the env-NEE shadow rays of the bounce before it (they are
+    # born at the same hit points -> shared sort, shared packets, one launch).
+    eff_tmin = jnp.where(alive, jnp.zeros(n_rays, jnp.float32), t_max + 1.0)
+    hit = trace_closest(
+        scene, meta, origin, direction, eff_tmin, t_max,
+        cull_sign=primary_cull, sort_rays=False,
+    )
+
     for bounce in range(settings.max_bounces + 1):
-        t_min = jnp.zeros(n_rays, jnp.float32)
-        eff_tmin = jnp.where(alive, t_min, t_max + 1.0)
-        if bounce >= 1 and settings.indirect_environment_only:
-            hit = bvh_ops.Hit(
-                t=t_max, tri=jnp.full(n_rays, -1, jnp.int32),
-                u=jnp.zeros(n_rays), v=jnp.zeros(n_rays),
-            )
-        else:
-            hit = trace_closest(
-                scene, meta, origin, direction, eff_tmin, t_max,
-                cull_sign=primary_cull if bounce == 0 else bounce_cull,
-                sort_rays=bounce > 0,  # bounce packets are incoherent
-                sort_spatial=prev_tri,
-            )
         ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
 
         # Miss -> environment (Miss, PathTracer.lib.hlsl:1037-1051).
@@ -1055,17 +1162,13 @@ def _trace_rays(
         # Emissive (ClosestHit:924-926).
         radiance = radiance + jnp.where(alive[..., None], prefix * extras.emissive, 0.0)
 
-        # Environment NEE + MIS (ClosestHit:928-942).
+        # Environment NEE + MIS (ClosestHit:928-942). The shadow ray is built
+        # here but TRACED in the merged dispatch with the next bounce's
+        # closest rays below; its contribution is accumulated after that.
+        nee_pending = None
         if bounce < settings.max_bounces and nee_env and meta.has_env:
             u_env = rand4()  # descent uses .xy (reference); alias path all 4
             l_dir, l_col, l_pdf = _env_sample(scene, meta, u_env, params)
-            shadow = trace_shadow(
-                scene, meta, ray_origin, l_dir,
-                jnp.full(n_rays, params.max_ray_length, jnp.float32),
-                alpha_shadow=False, active=alive, sort_spatial=hit.tri,
-            )
-            ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
-            l_col = l_col * shadow[..., None]
             f, f_pdf = evaluate_bsdf(
                 sp, attrs.geometric_normal, view, l_dir, settings, scene.sheen_table,
                 meta=meta,
@@ -1073,7 +1176,13 @@ def _trace_rays(
             mis = _balance_heuristic(l_pdf, f_pdf)
             contrib = (mis[..., None] * f * l_col) / jnp.maximum(l_pdf[..., None], 1e-20)
             ok = alive & jnp.any(l_col > 0.0, -1)
-            radiance = radiance + jnp.where(ok[..., None], prefix * contrib, 0.0)
+            # Rays whose BSDF toward the light is zero (sampled env texel below
+            # the surface horizon — roughly half on convex geometry) contribute
+            # nothing: kill them BEFORE the dispatch so the sort groups them
+            # into dead packets that terminate after one root test. Exact —
+            # contrib is multiplied by f either way.
+            s_active = ok & jnp.any(f > 0.0, -1)
+            nee_pending = (ray_origin, l_dir, prefix * jnp.where(ok[..., None], contrib, 0.0), s_active)
 
         # Punctual light NEE (ClosestHit:944-956).
         if nee_lights:
@@ -1150,6 +1259,33 @@ def _trace_rays(
             t_max = jnp.full(n_rays, params.max_ray_length, jnp.float32)
             prev_pdf = pdf
             prev_mis = use_mis
+
+            # Merged dispatch: next-bounce closest rays + pending env-NEE
+            # shadow rays in ONE sorted packet launch.
+            eff_tmin = jnp.where(alive, 0.0, t_max + 1.0)
+            trace_bounce = not (settings.indirect_environment_only and bounce + 1 >= 1)
+            if nee_pending is not None:
+                s_orig, s_dir, s_contrib, s_active = nee_pending
+                s_tmax = jnp.full(n_rays, params.max_ray_length, jnp.float32)
+                s_tmin = jnp.where(s_active, 0.0, s_tmax + 1.0)
+                hit, shadow = trace_bounce_and_shadow(
+                    scene, meta, origin, direction, eff_tmin, t_max,
+                    s_orig, s_dir, s_tmin, s_tmax,
+                    cull_sign=bounce_cull, sort_spatial=prev_tri,
+                    trace_bounce=trace_bounce,
+                )
+                ray_count = ray_count + jnp.sum(s_active.astype(jnp.float32))
+                radiance = radiance + s_contrib * shadow[..., None]
+            elif trace_bounce:
+                hit = trace_closest(
+                    scene, meta, origin, direction, eff_tmin, t_max,
+                    cull_sign=bounce_cull, sort_rays=True, sort_spatial=prev_tri,
+                )
+            else:
+                hit = bvh_ops.Hit(
+                    t=t_max, tri=jnp.full(n_rays, -1, jnp.int32),
+                    u=jnp.zeros(n_rays), v=jnp.zeros(n_rays),
+                )
 
     # NaN/INF scrub + luminance clamp (RayGeneration:760-774).
     nan_mask = jnp.any(jnp.isnan(radiance), -1)

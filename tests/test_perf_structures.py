@@ -123,7 +123,7 @@ def test_alias_rows_distribution_and_pdf():
     # that quirk for MIS queries; the sampler itself is exact.)
     k = 20000
     u4 = jnp.asarray(rs.rand(k, 4).astype(np.float32))
-    uv, pdf = sampling.sample_importance_alias(
+    uv, pdf, _rgb = sampling.sample_importance_alias(
         jnp.asarray(rows), size, jnp.float32(total), u4
     )
     px = np.minimum((np.asarray(uv[:, 0]) * size).astype(int), size - 1)
@@ -152,7 +152,7 @@ def test_alias_matches_descent_distribution():
     rows = jnp.asarray(sampling.build_alias_rows(m))
     k = 40000
     u = jnp.asarray(rs.rand(k, 4).astype(np.float32))
-    uv_a, _ = sampling.sample_importance_alias(rows, size, jnp.float32(total), u)
+    uv_a, _, _ = sampling.sample_importance_alias(rows, size, jnp.float32(total), u)
     uv_d, _ = sampling.sample_importance_map(mips, u[:, :2])
 
     def hist(uv):
