@@ -38,12 +38,21 @@ def build_bench_scene(width, height):
     from gltf_renderer_tpu.scene.gltf import load_gltf
     from gltf_renderer_tpu.scene.procedural import write_textured_sphere_glb
 
+    t_b = time.time()
+
+    def mark(label):
+        nonlocal t_b
+        print(f"[bench]   {label}: {time.time() - t_b:.1f}s", file=sys.stderr,
+              flush=True)
+        t_b = time.time()
+
     d = tempfile.mkdtemp(prefix="bench_scene_")
     path = write_textured_sphere_glb(
         os.path.join(d, "helmet_class.glb"), tex_size=512, n_lat=128, n_lon=192,
         metallic=0.3, roughness=0.45,
     )
     scene = load_gltf(path)
+    mark("glb write+load")
 
     tf = flatten.compute_global_transforms(scene)
     plan = flatten.build_instance_plan(scene)
@@ -71,12 +80,14 @@ def build_bench_scene(width, height):
         [hotspot + 0.8 * sky, hotspot + 0.85 * sky, hotspot + sky], -1
     ).astype(np.float32)
     env = build_environment(eq, cube_size=128)
+    mark("env build")
 
     ptscene, meta = pt.make_pt_scene(
         world, jax.tree.map(jnp.asarray, scene.materials),
         jax.tree.map(jnp.asarray, scene.textures), jax.tree.map(jnp.asarray, lights),
         env=env,
     )
+    mark("make_pt_scene")
     n_tris = int(np.asarray(world.tri_vertex).shape[0])
 
     settings = S.PathTracerSettings(max_bounces=2, min_bounces=2)
@@ -99,6 +110,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 4))
 
     ptscene, meta, settings, params, c2w, n_tris = build_bench_scene(width, height)
+    scene_s = time.time() - t_setup
+    print(f"[bench] scene built in {scene_s:.1f}s", file=sys.stderr, flush=True)
 
     def trace_j(sc, c, s):
         return pt.trace_chunked(
@@ -109,6 +122,8 @@ def main():
     img, stats0 = trace_j(ptscene, c2w, jnp.uint32(0))
     jax.block_until_ready((img, stats0))
     setup_s = time.time() - t_setup
+    print(f"[bench] warmup done, compile {setup_s - scene_s:.1f}s",
+          file=sys.stderr, flush=True)
 
     t0 = time.time()
     total_rays = 0.0

@@ -13,6 +13,7 @@ pyramid (GenerateEnvironmentImportanceMapLevel.cs.hlsl:27-31).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, List, NamedTuple
 
 import numpy as np
@@ -298,6 +299,31 @@ def build_environment(
             equirect=eq, importance_quads=quads, alias_rows=alias_rows,
         )
 
+    # Disk cache: the build is a pure function of (equirect, cube_size) and
+    # costs minutes of CPU prefilter compute per process (GpuResources builds
+    # once per app run too; we persist across processes). Bump _ENV_CACHE_V
+    # when any build kernel changes.
+    cache_file = None
+    cache_dir = os.environ.get(
+        "GLTF_TPU_ENV_CACHE",
+        os.path.expanduser("~/.cache/gltf_renderer_tpu/env"),
+    )
+    if cache_dir.lower() not in ("0", "off", "none"):
+        import hashlib
+
+        eq_np = np.ascontiguousarray(np.asarray(equirect, np.float32))
+        key = hashlib.sha1(
+            eq_np.tobytes()
+            + str((eq_np.shape, cube_size, _ENV_CACHE_V)).encode()
+        ).hexdigest()
+        cache_file = os.path.join(cache_dir, f"{key}.npz")
+        if os.path.exists(cache_file):
+            try:
+                env = _load_env_npz(cache_file)
+                return jax.device_put(env)
+            except Exception:
+                pass  # corrupt/stale -> rebuild
+
     try:
         cpu = jax.devices("cpu")[0]
         default = jax.devices()[0]
@@ -305,10 +331,50 @@ def build_environment(
     except RuntimeError:
         run_cpu = False
     if not run_cpu:
-        return _build()
-    with jax.default_device(cpu):
-        env = jax.tree.map(lambda x: np.asarray(x), _build())
+        env = _build()
+    else:
+        with jax.default_device(cpu):
+            env = jax.tree.map(lambda x: np.asarray(x), _build())
+    if cache_file is not None:
+        try:
+            _save_env_npz(cache_file, jax.tree.map(np.asarray, env))
+        except Exception:
+            pass
     return jax.device_put(env)
+
+
+_ENV_CACHE_V = 1  # bump when prefilter/importance/alias construction changes
+
+
+def _save_env_npz(path, env: EnvMaps) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays = {}
+    for field in ("cube", "ggx", "importance", "importance_quads"):
+        seq = getattr(env, field)
+        for i, a in enumerate([] if seq is None else seq):
+            arrays[f"{field}_{i}"] = np.asarray(a)
+    arrays["diffuse"] = np.asarray(env.diffuse)
+    arrays["equirect"] = np.asarray(env.equirect)
+    arrays["alias_rows"] = np.asarray(env.alias_rows)
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+
+
+def _load_env_npz(path) -> EnvMaps:
+    z = np.load(path)
+    def lst(field):
+        out = []
+        i = 0
+        while f"{field}_{i}" in z:
+            out.append(z[f"{field}_{i}"])
+            i += 1
+        return out
+    return EnvMaps(
+        cube=lst("cube"), ggx=lst("ggx"), diffuse=z["diffuse"],
+        importance=lst("importance"), equirect=z["equirect"],
+        importance_quads=lst("importance_quads"), alias_rows=z["alias_rows"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -350,4 +416,6 @@ def env_sample(env: EnvMaps, u2):
 def env_pdf(env: EnvMaps, direction):
     """EnvironmentMapPdf (:705-710)."""
     uv = unit_square_to_uv(sphere_to_square(direction))
-    return sampling.importance_map_pdf(env.importance, uv) / (4.0 * PI)
+    return sampling.importance_map_pdf(
+        env.importance, uv, alias_rows=env.alias_rows
+    ) / (4.0 * PI)

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-LEAF_SIZE = 8
+LEAF_SIZE = 16
 SAH_BINS = 16
 
 # Packed record row layout: LEAF_SIZE x [v0.xyz e1.xyz e2.xyz] + LEAF_SIZE words.

@@ -11,10 +11,10 @@ bench_sort.py lineage, docs/PERFORMANCE.md):
     vector box tests -> cross-lane reduce -> scalar push) is ~650 ns of
     LATENCY, while its vector work is only ~100 ns. Scalar extracts from a
     loaded row cost ~4 ns each — essentially free.
-  - Therefore: (a) packets are BIG — 32 rows = 4096 rays — so each chain
-    latency is paid once per ~4x more rays (measured optimum: 8-row packets
-    32.5 ms, 32-row 26.8 ms, 128-row 49 ms on the 48k-tri bench scene; the
-    union effect takes over past ~32 rows); (b) leaf triangle tests are NOT
+  - Therefore: (a) packets are BIG — 16 rows = 2048 rays — each chain
+    latency is paid once per 2048 rays (measured optimum with pipelined
+    timing: 16-row packets beat 8- and 32-row on both primary and full
+    frame; the union effect takes over for larger packets); (b) leaf triangle tests are NOT
     run at pop time — leaf entries are buffered in an SMEM queue and flushed
     4 at a time (the 4 leaf tests are independent, so they pipeline);
     (c) the 4 per-child cross-lane any() reductions are folded into 2 summed
@@ -56,7 +56,7 @@ from gltf_renderer_tpu.ops.bvh import (
     WIDE_ID_MASK,
 )
 
-PACKET_ROWS = 32         # rays per packet = PACKET_ROWS * 128 = 4096
+PACKET_ROWS = 16         # rays per packet = PACKET_ROWS * 128 = 2048
 LANES = 128
 MAX_STACK = 128
 QCAP = 8                 # leaf queue slots per packet (flushes keep qn <= 5)
@@ -109,16 +109,16 @@ def _traverse_kernel(
                     t_min=t_min, t_cap=t_cap, lane_any=lane_any)
 
     def descent_step(sp, qn, sbase, qbase, pend, t_best, rays):
-        """Software-pipelined pop: FIRST apply the pushes decided by the
-        PREVIOUS iteration's box tests (their cross-lane reduce results ride
-        the loop state, so the reduce latency — the long pole of the serial
-        chain — overlaps this iteration's load + vector work), THEN pop the
-        top and box-test it for the NEXT iteration.
+        """Two-deep software-pipelined pop: the pushes applied here were
+        decided TWO iterations ago — their cross-lane reduce (the long pole
+        of the serial pop->load->test->reduce->push chain) gets a full
+        iteration of slack, so the chain through the stack is only
+        push(scalar)->pop(scalar). The traversal order is then "almost-DFS"
+        (each pop lags its parent's expansion by one step), which costs a
+        slightly staler t_best but breaks the latency cycle.
 
         Branch-free: leaves (and idle packets) box-test the dummy row, whose
-        far-point boxes never hit, so their deferred pushes are zero. DFS
-        order is preserved — children of the entry popped last iteration are
-        pushed 3..0 right before this pop, so child 0 pops now."""
+        far-point boxes never hit, so their deferred pushes are zero."""
         s01, s23, m0, m1, m2, m3 = pend
         pushes = [
             ((s01 & 16383) > 0).astype(jnp.int32),
@@ -244,10 +244,12 @@ def _traverse_kernel(
         jnp.zeros_like(rays["t_cap"]),
         jnp.full(rays["t_cap"].shape, -1, jnp.int32),
     )
-    # Seed the pipeline with a pending "push the root" (count 1 in field 0):
-    # the first iteration's push phase materializes it on the stack.
+    # Seed the two-deep pipeline with a pending "push the root" (count 1 in
+    # field 0) one stage out and an empty stage behind it.
     pend0 = (jnp.int32(1), jnp.int32(0), jnp.int32(root_meta),
              jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    pend_none = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     # Two-level loop: the HOT inner loop is pure descent with no lax.cond at
     # all (a big-branch cond in the hot loop taxes every iteration with the
@@ -255,29 +257,34 @@ def _traverse_kernel(
     # leaf queue fills or the stack drains. The outer loop flushes between
     # inner runs (~leaves/FLUSH times per packet, not once per pop).
     def live(state):
-        sp, _qn, pend, _best = state
-        return (sp > 0) | (pend[0] != 0) | (pend[1] != 0)
+        sp, _qn, pend_a, pend_b, _best = state
+        return (
+            (sp > 0) | (pend_a[0] != 0) | (pend_a[1] != 0)
+            | (pend_b[0] != 0) | (pend_b[1] != 0)
+        )
 
     def inner_cond(state):
         return live(state) & (state[1] < FLUSH)
 
     def inner_body(state):
-        sp, qn, pend, best = state
-        sp, qn, pend = descent_step(sp, qn, 0, 0, pend, best[0], rays)
-        return sp, qn, pend, best
+        sp, qn, pend_a, pend_b, best = state
+        # Apply stage A (from 2 iterations ago); the fresh sums become the
+        # new stage B, and the old B shifts into A for the next iteration.
+        sp, qn, pend_new = descent_step(sp, qn, 0, 0, pend_a, best[0], rays)
+        return sp, qn, pend_b, pend_new, best
 
     def outer_body(state):
         state = jax.lax.while_loop(inner_cond, inner_body, state)
-        sp, qn, pend, best = state
+        sp, qn, pend_a, pend_b, best = state
         qn, best = jax.lax.cond(
             qn >= FLUSH,
             lambda q, b: leaf_flush(q, b, 0, rays),
             lambda q, b: (q, b), qn, best,
         )
-        return sp, qn, pend, best
+        return sp, qn, pend_a, pend_b, best
 
-    _, qn, _, best = jax.lax.while_loop(
-        live, outer_body, (0, 0, pend0, best0)
+    _, qn, _, _, best = jax.lax.while_loop(
+        live, outer_body, (0, 0, pend0, pend_none, best0)
     )
 
     # Drain leftover queued leaves (< FLUSH of them; clamped reads duplicate).

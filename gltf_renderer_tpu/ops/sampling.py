@@ -302,13 +302,20 @@ def sample_importance_map(mips, u):
     return uv, pdf
 
 
-def importance_map_pdf(mips, uv):
-    """pdf query for a given uv. Sampling.hlsli ImportanceMapPdf:165-174."""
+def importance_map_pdf(mips, uv, alias_rows=None):
+    """pdf query for a given uv. Sampling.hlsli ImportanceMapPdf:165-174.
+
+    When alias_rows is given, the texel value comes from its column 2 (the
+    texel's own luminance sum, bit-identical to mips[0]) as a ROW gather —
+    1-D gathers from the (S, S) map are ~3x slower on TPU."""
     size = mips[0].shape[0]
     total_sum = jnp.maximum(mips[-1][0, 0], 1e-30)
     # UVToPixel (Common.hlsli:12-15): (int2)(floor(uv * res) - .5)  — the -0.5
     # before the int cast truncates toward zero, matching floor for >=0.
     p = jnp.floor(uv * size) - 0.5
     p = jnp.clip(p.astype(jnp.int32), 0, size - 1)
-    value = mips[0][p[..., 1], p[..., 0]]
+    if alias_rows is not None:
+        value = alias_rows[p[..., 1] * size + p[..., 0], 2]
+    else:
+        value = mips[0][p[..., 1], p[..., 0]]
     return float(size) * float(size) * value / total_sum

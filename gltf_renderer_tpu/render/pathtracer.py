@@ -104,54 +104,36 @@ def _pallas_available() -> bool:
         return False
 
 
-def _counting_positions(key, n_buckets):
-    """Stable counting-sort positions: ray r belongs at sorted index pos[r].
+def _octant_positions(direction, t_min, t_max, spatial_slot=None, any_flag=None):
+    """Packet-coherence ordering for incoherent (bounce/shadow) rays:
+    positions pos[r] = sorted index of ray r.
 
-    A full jnp.argsort costs ~12 ms at chunk size on TPU; an n<=16-bucket
-    counting sort (one (R, n) cumsum + 2 small gathers) is several times
-    cheaper and stable, which keeps packets coherent."""
-    oh = (key[:, None] == jnp.arange(n_buckets, dtype=key.dtype)).astype(jnp.int32)
-    within = jnp.cumsum(oh, axis=0)                      # (R, n) inclusive
-    counts = within[-1]
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
-    rank = jnp.take_along_axis(within, key[:, None], 1)[:, 0] - 1
-    return offsets[key] + rank
+    Sort key (most-significant first): origin locality (the FULL BVH slot
+    index of the hit the ray starts from — slot order is spatially coherent
+    by the SAH build), then ray population (closest vs any-hit in merged
+    bounce+shadow dispatches — mixed packets union two unrelated traversal
+    footprints), then direction octant. Dead rays (t_min > t_max) sort last
+    so their packets terminate after one root test.
 
-
-def _octant_positions(direction, t_min, t_max, spatial_bucket=None, any_flag=None):
-    """Packet-coherence ordering for incoherent (bounce/shadow) rays.
-
-    Base key: direction octant, dead rays (t_min > t_max) last. When
-    spatial_bucket is given (16-valued origin-locality key — the BVH slot
-    index of the hit the ray starts from, which is spatially sorted by the
-    SAH build), a second stable counting pass groups by locality THEN octant:
-    secondary packets become near-primary coherent instead of union-traversing
-    the whole tree. any_flag (merged bounce+shadow dispatches) splits the two
-    ray populations into different packets within each locality region —
-    mixed packets union two unrelated traversal footprints."""
+    One lax.sort_key_val on the composite integer key costs ~3 ms at chunk
+    size — cheaper than even a single 16-bucket counting pass (measured),
+    and it keys on the full slot resolution instead of 16 coarse buckets."""
     octant = (
         (direction[:, 0] > 0).astype(jnp.int32) * 4
         + (direction[:, 1] > 0).astype(jnp.int32) * 2
         + (direction[:, 2] > 0).astype(jnp.int32)
     )
     dead = t_min > t_max
+    key = octant
     if any_flag is not None:
-        key = jnp.where(dead, 16, octant + 8 * any_flag)
-        pos1 = _counting_positions(key, 17)
-    else:
-        key = octant + jnp.where(dead, 8, 0)
-        pos1 = _counting_positions(key, 16)
-    if spatial_bucket is None:
-        return pos1
-    # LSD radix: octant pass above (minor), locality pass below (major).
-    # Dead rays go to the last locality bucket so they pack together and
-    # their packets terminate after one root test.
-    spatial_bucket = jnp.where(dead, 15, spatial_bucket)
-    sb = jnp.zeros_like(spatial_bucket).at[pos1].set(spatial_bucket)
-    pos2 = _counting_positions(sb, 16)
-    return pos2[pos1]
+        key = key + 8 * any_flag
+    if spatial_slot is not None:
+        key = key + 16 * jnp.clip(spatial_slot, 0, None)
+    key = jnp.where(dead, jnp.int32(2**31 - 1), key)
+    r = key.shape[0]
+    iota = jnp.arange(r, dtype=jnp.int32)
+    _, idx = jax.lax.sort_key_val(key, iota)     # idx: sorted pos -> orig ray
+    return jnp.zeros(r, jnp.int32).at[idx].set(iota)
 
 
 def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
@@ -162,17 +144,13 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
     t_max = jnp.broadcast_to(t_max, t_min.shape)
     if sort_rays:
         # Bounce/shadow directions are incoherent; the packet kernel prunes on
-        # the UNION of a packet's rays, so grouping rays by direction octant
-        # (dead rays last — their packets terminate after one root test)
-        # roughly halves incoherent traversal time (measured ledger entry).
-        # One scatter reorders all 8 ray columns at once; one gather restores
-        # the 4 hit columns (gather/scatter op count dominates, not bytes).
-        if sort_spatial is not None:
-            n_slots = max(int(scene.packed.words.shape[0]), 1)
-            bucket = jnp.clip(sort_spatial, 0, None) * 16 // n_slots
-        else:
-            bucket = None
-        pos = _octant_positions(direction, t_min, t_max, bucket, any_flag=mode)
+        # the UNION of a packet's rays, so grouping rays by (origin locality,
+        # population, direction octant) with dead rays last cuts incoherent
+        # traversal time sharply (measured ledger entries). One scatter
+        # reorders all ray columns at once; one gather restores the 4 hit
+        # columns.
+        pos = _octant_positions(direction, t_min, t_max, sort_spatial,
+                                any_flag=mode)
         cols = [origin, direction, t_min[:, None], t_max[:, None]]
         if mode is not None:
             cols.append(mode.astype(jnp.float32)[:, None])

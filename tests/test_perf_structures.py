@@ -24,22 +24,27 @@ def _keys(direction, t_min, t_max):
     )
 
 
-def test_octant_positions_match_stable_argsort():
+def test_octant_positions_groups_by_key():
     rs = np.random.RandomState(7)
     n = 4096
     d = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
     t_min = np.zeros(n, np.float32)
     t_max = np.where(rs.rand(n) < 0.2, -1.0, 10.0).astype(np.float32)  # dead rays
+    slot = rs.randint(0, 500, n).astype(np.int32)
     pos = np.asarray(pt._octant_positions(jnp.asarray(d), jnp.asarray(t_min),
-                                          jnp.asarray(t_max)))
+                                          jnp.asarray(t_max), jnp.asarray(slot)))
     # pos is a permutation.
     assert sorted(pos.tolist()) == list(range(n))
-    key = _keys(d, t_min, t_max)
-    # Equivalent to a stable sort by key: ray r goes to index pos[r].
-    idx_stable = np.argsort(key, kind="stable")
-    expect = np.empty(n, np.int64)
-    expect[idx_stable] = np.arange(n)
-    np.testing.assert_array_equal(pos, expect)
+    # Rays arrive grouped by (locality slot, octant), dead rays last: the key
+    # read off in sorted order must be non-decreasing.
+    dead = t_min > t_max
+    key = np.where(dead, np.int64(2**40), slot.astype(np.int64) * 16 + _keys(d, t_min, np.full(n, 10.0)))
+    order = np.empty(n, np.int64)
+    order[pos] = np.arange(n)          # sorted index -> ray
+    assert (np.diff(key[order]) >= 0).all()
+    # All dead rays are at the end.
+    n_dead = int(dead.sum())
+    assert dead[order][n - n_dead:].all()
 
 
 def test_packet_closest_sorted_roundtrip(monkeypatch):
