@@ -20,8 +20,11 @@ import time
 import numpy as np
 
 
-def build_bench_scene(width, height):
-    """DamagedHelmet-class bench scene + camera. Returns
+def build_bench_scene(width, height, scene_kind=None):
+    """Bench scene + camera. scene_kind (or $BENCH_SCENE): "helmet" (default,
+    DamagedHelmet-class ~48k-tri textured sphere) or "courtyard" (Sponza-class
+    ~274k-tri colonnaded courtyard with alpha-MASKED banners — BASELINE
+    config-5 analogue, alpha shadows on). Returns
     (ptscene, meta, settings, params, c2w, n_tris)."""
     import jax
     import jax.numpy as jnp
@@ -46,11 +49,17 @@ def build_bench_scene(width, height):
               flush=True)
         t_b = time.time()
 
+    scene_kind = scene_kind or os.environ.get("BENCH_SCENE", "helmet")
     d = tempfile.mkdtemp(prefix="bench_scene_")
-    path = write_textured_sphere_glb(
-        os.path.join(d, "helmet_class.glb"), tex_size=512, n_lat=128, n_lon=192,
-        metallic=0.3, roughness=0.45,
-    )
+    if scene_kind == "courtyard":
+        from gltf_renderer_tpu.scene.procedural import write_courtyard_glb
+
+        path = write_courtyard_glb(os.path.join(d, "courtyard.glb"))
+    else:
+        path = write_textured_sphere_glb(
+            os.path.join(d, "helmet_class.glb"), tex_size=512, n_lat=128, n_lon=192,
+            metallic=0.3, roughness=0.45,
+        )
     scene = load_gltf(path)
     mark("glb write+load")
 
@@ -90,10 +99,17 @@ def build_bench_scene(width, height):
     mark("make_pt_scene")
     n_tris = int(np.asarray(world.tri_vertex).shape[0])
 
-    settings = S.PathTracerSettings(max_bounces=2, min_bounces=2)
+    settings = S.PathTracerSettings(
+        max_bounces=2, min_bounces=2,
+        alpha_shadows=(scene_kind == "courtyard"),
+    )
     params = S.PathTracerParams()
     cam = Camera(y_fov=np.pi / 3, aspect_ratio=width / height, z_near=0.01)
-    cam.world_to_view = look_at([1.1, -1.1, 0.6], [0.0, 0.0, 0.0])
+    if scene_kind == "courtyard":
+        # Interior colonnade view (the scene ships the same camera at node 1).
+        cam.world_to_view = look_at([-9.0, 0.0, 1.7], [1.0, 0.0, 1.6])
+    else:
+        cam.world_to_view = look_at([1.1, -1.1, 0.6], [0.0, 0.0, 0.0])
     c2w = jnp.asarray(cam.clip_to_world())
     return ptscene, meta, settings, params, c2w, n_tris
 
@@ -138,8 +154,11 @@ def main():
     elapsed = time.time() - t0
 
     mrays = total_rays / elapsed / 1e6
+    scene_kind = os.environ.get("BENCH_SCENE", "helmet")
+    metric = ("pt_mrays_per_s_per_chip_1080p" if scene_kind == "helmet"
+              else f"pt_mrays_per_s_{scene_kind}_1080p")
     result = {
-        "metric": "pt_mrays_per_s_per_chip_1080p",
+        "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 50.0, 4),

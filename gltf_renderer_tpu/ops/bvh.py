@@ -824,12 +824,16 @@ WIDE_ID_MASK = WIDE_LEAF_BIT - 1
 class WideMaps(NamedTuple):
     child_src: Any   # (N4, 4) i32 — binary node id per child (-1 = empty)
     meta: Any        # (N4, 4) i32 — child meta words (static per topology)
+    leaf_ids: Any = None  # (L,) i32 — binary node id of compact leaf l; meta
+    # leaf entries index THIS array, so the kernel's record/word tables hold
+    # only leaf rows (half the VMEM of node-indexed tables)
 
 
 def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
     """Collapse the binary tree into 4-wide nodes (host). Returns
     (maps, root_meta). root_meta is the stack seed: the root wide id, or a
-    leaf word when the whole tree is one leaf."""
+    leaf word when the whole tree is one leaf. Leaf meta entries carry
+    COMPACT leaf indices (into maps.leaf_ids), not binary node ids."""
     count = np.asarray(bvh.count)
     right = np.asarray(bvh.right)
     n = count.shape[0]
@@ -838,12 +842,13 @@ def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
         child_src = np.full((1, 4), -1, np.int32)
         # Empty children get a harmless leaf word; they are never pushed
         # because the empty sentinel box cannot hit, and even if one were,
-        # leaf processing of an all-invalid record row is a no-op.
+        # re-testing a real leaf row is idempotent.
         meta = np.full((1, 4), WIDE_LEAF_BIT, np.int32)
+        leaf_ids = np.zeros(max(n, 1), np.int32)
         if n:
             child_src[0, 0] = 0
             meta[0, 0] = 0 | WIDE_LEAF_BIT
-        return WideMaps(child_src=child_src, meta=meta), int(0)
+        return WideMaps(child_src=child_src, meta=meta, leaf_ids=leaf_ids), int(0)
 
     def entries_of(b):
         """Child entries of binary internal node b: grandchildren where the
@@ -871,18 +876,26 @@ def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
                 work.append(e)
     n4 = len(order)
     child_src = np.full((n4, 4), -1, np.int32)
-    # Empty children default to a leaf word: even if a sentinel box ever hit,
-    # processing a record row of an internal node (all words -1) is a no-op,
-    # whereas pushing wide id 0 (the root) would loop forever.
+    # Empty children default to compact leaf 0: even if a sentinel box ever
+    # hit, re-testing a real leaf row is idempotent, whereas pushing wide id
+    # 0 (the root) would loop forever.
     meta = np.full((n4, 4), WIDE_LEAF_BIT, np.int32)
+    leaf_idx = {}
+    leaf_ids = []
     for w, b in enumerate(order):
         for c, e in enumerate(children[b]):
             child_src[w, c] = e
             if count[e] > 0:
-                meta[w, c] = np.int32(e | WIDE_LEAF_BIT)
+                if e not in leaf_idx:
+                    leaf_idx[e] = len(leaf_ids)
+                    leaf_ids.append(e)
+                meta[w, c] = np.int32(leaf_idx[e] | WIDE_LEAF_BIT)
             else:
                 meta[w, c] = np.int32(wide_id[e])
-    return WideMaps(child_src=child_src, meta=meta), 0
+    return WideMaps(
+        child_src=child_src, meta=meta,
+        leaf_ids=np.asarray(leaf_ids or [0], np.int32),
+    ), 0
 
 
 # Empty-child sentinel: a far-away point box. A NaN box is NOT safe — Mosaic's

@@ -432,8 +432,10 @@ def traverse_packets(
     )
     maps, root_meta = bvh_ops.build_wide_maps(tree)
     wide = bvh_ops.assemble_wide(packed.nodes, maps)
+    leaf_ids = jnp.asarray(maps.leaf_ids)
     return traverse_packets_wide(
-        wide, jnp.asarray(maps.meta), packed.records, packed.words,
+        wide, jnp.asarray(maps.meta), packed.records[leaf_ids],
+        packed.words[leaf_ids],
         origin, direction, t_min, t_max,
         root_meta=root_meta, any_hit=any_hit, cull_sign=cull_sign,
         blend_mode=blend_mode, interpret=interpret,

@@ -71,6 +71,8 @@ class PTScene(NamedTuple):
     sheen_table: Any         # (A, C) f32
     wide_nodes: Any = None   # (N4, 24) f32 4-wide box rows (Pallas kernel)
     wide_maps: Any = None    # bvh_ops.WideMaps (static child map, for refits)
+    leaf_records: Any = None  # (L, REC_GEO) kernel leaf geometry (compact —
+    leaf_words: Any = None    # only leaf rows resident in VMEM, not all nodes)
 
 
 class PTMeta(NamedTuple):
@@ -89,8 +91,9 @@ class PTMeta(NamedTuple):
     wide_root: int = 0       # stack seed for the wide packet kernel
 
 
-# Pallas packet kernel needs nodes+records resident in VMEM (~16 MB/core).
-PALLAS_VMEM_BUDGET = 10 * 1024 * 1024
+# Pallas packet kernel needs nodes + compact leaf records resident in VMEM
+# (measured usable VMEM on v5e: ~64-96 MB; leave room for ray blocks/outputs).
+PALLAS_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _pallas_available() -> bool:
@@ -175,7 +178,7 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
 
     t, word, u, v = traverse_packets_wide(
         scene.wide_nodes, scene.wide_maps.meta,
-        scene.packed.records, scene.packed.words,
+        scene.leaf_records, scene.leaf_words,
         origin, direction, t_min, t_max,
         root_meta=meta.wide_root,
         any_hit="lane" if mode is not None else any_hit,
@@ -278,11 +281,16 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
     wide_maps = bvh_ops.WideMaps(
         child_src=jnp.asarray(wide_maps.child_src),
         meta=jnp.asarray(wide_maps.meta),
+        leaf_ids=jnp.asarray(wide_maps.leaf_ids),
     )
     wide_nodes = bvh_ops.assemble_wide(packed.nodes, wide_maps)
+    # Kernel leaf tables: only the LEAF rows go to VMEM (records are stored
+    # per binary node; internal rows are zeros and would double the budget).
+    leaf_records = packed.records[wide_maps.leaf_ids]
+    leaf_words = packed.words[wide_maps.leaf_ids]
     table_bytes = 4 * (
-        wide_nodes.size + wide_maps.meta.size + packed.records.size
-        + packed.words.size
+        wide_nodes.size + wide_maps.meta.size + leaf_records.size
+        + leaf_words.size
     )
     meta = meta._replace(
         use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET,
@@ -299,6 +307,8 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -
         sheen_table=jnp.asarray(sheen_e_table()),
         wide_nodes=wide_nodes,
         wide_maps=wide_maps,
+        leaf_records=leaf_records,
+        leaf_words=leaf_words,
     )
     return scene, meta
 

@@ -177,9 +177,12 @@ class Renderer:
                     refitted=refitted,
                 )
                 wide_nodes = bvh_ops.assemble_wide(packed.nodes, self._ptscene.wide_maps)
+            leaf_ids = self._ptscene.wide_maps.leaf_ids
             self._ptscene = self._ptscene._replace(
                 world=world, bvh=tree, packed=packed, lights=lights_dev,
                 wide_nodes=wide_nodes,
+                leaf_records=packed.records[leaf_ids],
+                leaf_words=packed.words[leaf_ids],
             )
         return node_tf
 

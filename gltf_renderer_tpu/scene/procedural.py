@@ -522,3 +522,200 @@ def write_foliage_gltf(path, tex_size=64):
     with open(path, "w") as f:
         json.dump(doc, f)
     return path
+
+
+def _quad_grid(origin, ax_u, ax_v, nu, nv):
+    """Subdivided quad: origin + u*ax_u + v*ax_v, u,v in [0,1]. Returns
+    (pos, normal, uv, idx)."""
+    origin = np.asarray(origin, np.float32)
+    ax_u = np.asarray(ax_u, np.float32)
+    ax_v = np.asarray(ax_v, np.float32)
+    uu, vv = np.meshgrid(
+        np.linspace(0, 1, nu + 1, dtype=np.float32),
+        np.linspace(0, 1, nv + 1, dtype=np.float32), indexing="ij",
+    )
+    p = origin[None, None] + uu[..., None] * ax_u + vv[..., None] * ax_v
+    nrm = np.cross(ax_u, ax_v)
+    nrm = nrm / max(np.linalg.norm(nrm), 1e-9)
+    n = np.broadcast_to(nrm, p.shape).astype(np.float32)
+    uv = np.stack([uu, vv], -1).astype(np.float32)
+    i, j = np.meshgrid(np.arange(nu), np.arange(nv), indexing="ij")
+    a = (i * (nv + 1) + j).reshape(-1)
+    b = ((i + 1) * (nv + 1) + j).reshape(-1)
+    c = ((i + 1) * (nv + 1) + j + 1).reshape(-1)
+    d = (i * (nv + 1) + j + 1).reshape(-1)
+    idx = np.stack([a, b, c, a, c, d], 1).reshape(-1).astype(np.uint32)
+    return p.reshape(-1, 3), n.reshape(-1, 3), uv.reshape(-1, 2), idx
+
+
+def _cylinder(center, radius, height, n_seg, n_h):
+    """Open cylinder around +Z. Returns (pos, normal, uv, idx)."""
+    center = np.asarray(center, np.float32)
+    th = np.linspace(0, 2 * np.pi, n_seg + 1, dtype=np.float32)
+    z = np.linspace(0, height, n_h + 1, dtype=np.float32)
+    tt, zz = np.meshgrid(th, z, indexing="ij")
+    p = np.stack([
+        center[0] + radius * np.cos(tt),
+        center[1] + radius * np.sin(tt),
+        center[2] + zz,
+    ], -1).astype(np.float32)
+    n = np.stack([np.cos(tt), np.sin(tt), np.zeros_like(tt)], -1).astype(np.float32)
+    uv = np.stack([tt / (2 * np.pi), zz / height], -1).astype(np.float32)
+    i, j = np.meshgrid(np.arange(n_seg), np.arange(n_h), indexing="ij")
+    a = (i * (n_h + 1) + j).reshape(-1)
+    b = ((i + 1) * (n_h + 1) + j).reshape(-1)
+    c = ((i + 1) * (n_h + 1) + j + 1).reshape(-1)
+    d = (i * (n_h + 1) + j + 1).reshape(-1)
+    idx = np.stack([a, b, c, a, c, d], 1).reshape(-1).astype(np.uint32)
+    return p.reshape(-1, 3), n.reshape(-1, 3), uv.reshape(-1, 2), idx
+
+
+def write_courtyard_glb(path, density=1, tex_size=256):
+    """Sponza-class stress scene: colonnaded courtyard, ~290k tris at
+    density=1 (~1.1M at density=2), 5 materials (stone floor/walls, marble
+    pillars, metal spheres, alpha-MASKED fabric banners), 3 textures.
+
+    Stands in for the Sponza atrium of BASELINE config 5 (no network access
+    to glTF-Sample-Assets in this environment): large triangle count,
+    multi-material, masked geometry for alpha shadows."""
+    import io
+    import struct
+    from PIL import Image
+
+    rs = np.random.RandomState(11)
+    d = density
+
+    groups = {k: ([], [], [], []) for k in
+              ("floor", "wall", "pillar", "metal", "banner")}
+
+    def add(group, pos, n, uv, idx):
+        ps, ns, uvs, idxs = groups[group]
+        base = sum(p.shape[0] for p in ps)
+        ps.append(pos); ns.append(n); uvs.append(uv); idxs.append(idx + base)
+
+    # Floor 20x20, finely subdivided.
+    add("floor", *_quad_grid([-10, -10, 0], [20, 0, 0], [0, 20, 0],
+                             128 * d, 128 * d))
+    # 4 walls, 6 high.
+    for o, au in (([-10, -10, 0], [20, 0, 0]), ([10, 10, 0], [-20, 0, 0]),
+                  ([10, -10, 0], [0, 20, 0]), ([-10, 10, 0], [0, -20, 0])):
+        add("wall", *_quad_grid(o, au, [0, 0, 6], 128 * d, 64 * d))
+    # Colonnade: 2 rows of 8 pillars.
+    for row, y in ((0, -6.0), (1, 6.0)):
+        for k in range(8):
+            x = -8.4 + 2.4 * k
+            add("pillar", *_cylinder([x, y, 0], 0.35, 5.0, 64 * d, 56 * d))
+    # Metal spheres on pedestals.
+    for k in range(6):
+        p, n, uv, idx = uv_sphere(32 * d, 48 * d, radius=0.5)
+        p = p + np.asarray([-7.5 + 3.0 * k, 0.0, 0.8], np.float32)
+        add("metal", p, n, uv, idx)
+    # Banners between pillars (double-sided masked quads).
+    for k in range(7):
+        x = -7.2 + 2.4 * k
+        for y in (-6.0, 6.0):
+            add("banner", *_quad_grid([x - 0.8, y, 4.6], [1.6, 0, 0],
+                                      [0, 0, -2.2], 32 * d, 48 * d))
+
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+
+    # Textures: stone checker, marble stripes, banner with cutout alpha.
+    def png_bytes(img):
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGBA").save(buf, format="PNG")
+        return buf.getvalue()
+
+    yy, xx = np.meshgrid(np.arange(tex_size), np.arange(tex_size), indexing="ij")
+    checker = (((xx // 16) + (yy // 16)) % 2).astype(np.uint8)
+    noise = rs.randint(0, 40, (tex_size, tex_size)).astype(np.uint8)
+    stone = np.stack([150 + 30 * checker + noise // 2,
+                      140 + 25 * checker + noise // 2,
+                      125 + 20 * checker + noise // 2,
+                      np.full_like(checker, 255)], -1).astype(np.uint8)
+    stripes = (128 + 90 * np.sin(yy * 0.25 + 3 * np.sin(xx * 0.07))).astype(np.uint8)
+    marble = np.stack([stripes, stripes, np.minimum(stripes + 20, 255),
+                       np.full_like(stripes, 255)], -1).astype(np.uint8)
+    # Banner: diamond cutout pattern (alpha mask) + red/gold weave.
+    cx = np.abs((xx % 64) - 32) + np.abs((yy % 64) - 32)
+    alpha = np.where(cx < 40, 255, 0).astype(np.uint8)
+    banner = np.stack([200 + 0 * xx, 40 + ((xx // 8) % 2) * 120,
+                       40 + 0 * xx, alpha], -1).astype(np.uint8)
+
+    pngs = [png_bytes(stone), png_bytes(marble), png_bytes(banner)]
+    doc["bufferViews"] = []
+    doc["accessors"] = []
+
+    mats = {
+        "floor": {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                           "metallicFactor": 0.0, "roughnessFactor": 0.9}},
+        "wall": {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                          "baseColorFactor": [0.9, 0.85, 0.8, 1.0],
+                                          "metallicFactor": 0.0, "roughnessFactor": 0.85}},
+        "pillar": {"pbrMetallicRoughness": {"baseColorTexture": {"index": 1},
+                                            "metallicFactor": 0.05, "roughnessFactor": 0.4}},
+        "metal": {"pbrMetallicRoughness": {"baseColorFactor": [0.95, 0.93, 0.88, 1.0],
+                                           "metallicFactor": 1.0, "roughnessFactor": 0.15}},
+        "banner": {"pbrMetallicRoughness": {"baseColorTexture": {"index": 2},
+                                            "metallicFactor": 0.0, "roughnessFactor": 1.0},
+                   "alphaMode": "MASK", "alphaCutoff": 0.5, "doubleSided": True},
+    }
+    order = list(groups.keys())
+    doc["materials"] = [mats[k] for k in order]
+
+    prims = []
+    for mi, k in enumerate(order):
+        ps, ns, uvs, idxs = groups[k]
+        p = np.concatenate(ps); n = np.concatenate(ns)
+        uv = np.concatenate(uvs); idx = np.concatenate(idxs)
+        prims.append({
+            "attributes": {
+                "POSITION": _acc(doc, bin_parts, p, target=34962),
+                "NORMAL": _acc(doc, bin_parts, n, target=34962),
+                "TEXCOORD_0": _acc(doc, bin_parts, uv, target=34962),
+            },
+            "indices": _acc(doc, bin_parts, idx, target=34963),
+            "material": mi,
+        })
+
+    doc["images"] = []
+    doc["textures"] = []
+    for png in pngs:
+        offset = sum(len(b) for b in bin_parts)
+        pad = (-offset) % 4
+        if pad:
+            bin_parts.append(b"\x00" * pad)
+            offset += pad
+        bin_parts.append(png)
+        doc["bufferViews"].append({"buffer": 0, "byteOffset": offset,
+                                   "byteLength": len(png)})
+        doc["images"].append({"bufferView": len(doc["bufferViews"]) - 1,
+                              "mimeType": "image/png"})
+        doc["textures"].append({"source": len(doc["images"]) - 1, "sampler": 0})
+    doc["samplers"] = [{"wrapS": 10497, "wrapT": 10497}]
+
+    doc["meshes"] = [{"primitives": prims}]
+    # Interior camera: at one end of the nave looking down the colonnade
+    # (the classic Sponza view). -Z forward in glTF camera space; rotate so
+    # forward is +X world with Z up: R = rot_z(-90deg) * rot_x(90deg).
+    doc["cameras"] = [{"type": "perspective",
+                       "perspective": {"yfov": 1.0472, "znear": 0.05}}]
+    doc["nodes"] = [
+        {"mesh": 0},
+        {"camera": 0, "translation": [-9.0, 0.0, 1.7],
+         "rotation": [0.5, -0.5, -0.5, 0.5]},
+    ]
+    doc["scenes"] = [{"nodes": [0, 1]}]
+    blob = b"".join(bin_parts)
+    blob += b"\x00" * ((-len(blob)) % 4)
+    doc["buffers"] = [{"byteLength": len(blob)}]
+
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    glb = struct.pack("<III", 0x46546C67, 2, total)
+    glb += struct.pack("<II", len(js), 0x4E4F534A) + js
+    glb += struct.pack("<II", len(blob), 0x004E4942) + blob
+    with open(path, "wb") as f:
+        f.write(glb)
+    return path
