@@ -142,3 +142,61 @@ def test_tmin_offset_respected():
     np.testing.assert_array_equal(np.asarray(w1) >= 0, np.asarray(ref.tri) >= 0)
     both = (np.asarray(w1) >= 0) & has
     assert np.all(np.asarray(t1)[both] > np.asarray(t0)[both])
+
+
+def test_lane_mode_mixed_dispatch():
+    """any_hit="lane": closest and any-hit rays mixed per-lane in ONE dispatch
+    (the merged bounce+shadow path) must match the pure dispatches exactly —
+    closest lanes vs intersect_closest_p, any-hit lanes vs intersect_any_p.
+    Culling applies only to the closest lanes."""
+    from gltf_renderer_tpu.ops import bvh as bvh_ops
+    from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
+    import jax.numpy as jnp
+
+    packed = _random_scene(96, seed=5)
+    o, d, t_min, t_max = _random_rays(160, seed=6)
+    rs = np.random.RandomState(7)
+    mode = jnp.asarray((rs.rand(160) < 0.5).astype(np.int32))
+
+    nodes_np = np.asarray(packed.nodes)
+    is_leaf = nodes_np[:, 6] >= 0.0
+    skip = nodes_np[:, 7].astype(np.int32)
+    n = nodes_np.shape[0]
+    right = np.full(n, -1, np.int32)
+    internal = ~is_leaf
+    right[internal] = skip[np.clip(np.nonzero(internal)[0] + 1, 0, n - 1)]
+    tree = bvh_ops.FlatBVH(
+        aabb_min=nodes_np[:, 0:3], aabb_max=nodes_np[:, 3:6],
+        first=np.maximum(nodes_np[:, 6], 0).astype(np.int32),
+        count=is_leaf.astype(np.int32), skip=skip, right=right,
+        tri_order=None, levels=None,
+    )
+    maps, root_meta = bvh_ops.build_wide_maps(tree)
+    wide = bvh_ops.assemble_wide(packed.nodes, maps)
+    leaf_ids = jnp.asarray(maps.leaf_ids)
+
+    for cull in (0, 1):
+        t, word, u, v = traverse_packets_wide(
+            wide, jnp.asarray(maps.meta), packed.records[leaf_ids],
+            packed.words[leaf_ids], o, d, t_min, t_max,
+            root_meta=root_meta, any_hit="lane", cull_sign=cull,
+            mode=mode, interpret=True,
+        )
+        tri = np.where(np.asarray(word) >= 0,
+                       np.asarray(word) & bvh_ops.ID_MASK, -1)
+        m_any = np.asarray(mode) > 0
+        # Any-hit lanes: occluded iff ANY geometry intersects (never culled).
+        ref_any = np.asarray(
+            bvh_ops.intersect_any_p(packed, o, d, t_min, t_max)
+        )
+        np.testing.assert_array_equal((tri >= 0)[m_any], ref_any[m_any])
+        # Closest lanes: match intersect_closest_p with the cull flag.
+        ref = bvh_ops.intersect_closest_p(packed, o, d, t_min, t_max,
+                                          cull_sign=cull)
+        ref_tri = np.asarray(ref.tri)
+        ref_t = np.asarray(ref.t)
+        mc = ~m_any
+        np.testing.assert_array_equal((tri >= 0)[mc], (ref_tri >= 0)[mc])
+        hit = mc & (ref_tri >= 0)
+        np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
+                                   rtol=1e-4, atol=1e-5)
