@@ -219,10 +219,32 @@ def slot_flag_words(world: WorldGeometry, materials, order: np.ndarray) -> np.nd
     return words.astype(np.int32)
 
 
-def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None) -> (
-    "tuple[PTScene, PTMeta]"
-):
-    """Build BVH + slot-ordered triangle data from world geometry (host)."""
+def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
+                  on_cpu: bool = True) -> "tuple[PTScene, PTMeta]":
+    """Build BVH + slot-ordered triangle data from world geometry (host).
+
+    Table construction is a load-time precompute: on a remote TPU backend its
+    dozens of small jnp ops each pay a remote compile (measured 130 s for a
+    274k-tri scene), so by default it runs on the CPU backend and the
+    finished PTScene is device_put once (same pattern as build_environment).
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+        run_cpu = on_cpu and cpu != jax.devices()[0]
+    except RuntimeError:
+        run_cpu = False
+    if run_cpu:
+        with jax.default_device(cpu):
+            scene, meta = make_pt_scene(
+                jax.tree.map(np.asarray, world),
+                jax.tree.map(np.asarray, materials),
+                jax.tree.map(np.asarray, textures),
+                jax.tree.map(np.asarray, lights),
+                env=env, on_cpu=False,
+            )
+            host = jax.tree.map(np.asarray, scene._replace(env=None))
+        return jax.device_put(host)._replace(env=jax.device_put(env)), meta
+
     wpos = np.asarray(world.position)
     tv = np.asarray(world.tri_vertex)
     p0, p1, p2 = wpos[tv[:, 0]], wpos[tv[:, 1]], wpos[tv[:, 2]]
