@@ -14,7 +14,9 @@ hardware rasterizer) mapped to TPU:
 
 Outputs a visibility G-buffer (tri id, depth, perspective-correct u, v) that
 feeds the same shade_forward used by the ray-cast path. Triangles crossing
-the near plane are dropped (no clipping yet — documented).
+the near plane are Sutherland-Hodgman clipped on the host; the clipped
+pieces carry per-vertex barycentrics of the SOURCE triangle so attribute
+interpolation is unchanged.
 """
 
 from __future__ import annotations
@@ -28,70 +30,169 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
+TILE_H = 16
 TILE_W = 128
-SETUP_WIDTH = 16
+TRI_BATCH = 4
+SETUP_WIDTH = 24
+NEAR_EPS = 1e-6
 
 
 class RasterSetup(NamedTuple):
-    rows: jnp.ndarray      # (T, 16) f32 triangle setup rows (geometry)
-    rows_i: jnp.ndarray    # (T, 8) i32 rows: [tri_id, flags, 0...]
-    valid: np.ndarray      # (T,) bool host mask (w>eps, non-degenerate)
-    screen_aabb: np.ndarray  # (T, 4) host float [x0, y0, x1, y1]
+    rows: jnp.ndarray      # (T', 24) f32 triangle setup rows (geometry)
+    rows_i: jnp.ndarray    # (T', 8) i32 rows: [tri_id, flags, 0...]
+    valid: np.ndarray      # (T',) bool host mask (non-degenerate, on-screen)
+    screen_aabb: np.ndarray  # (T', 4) host float [x0, y0, x1, y1]
 
 
-def build_setup(world_position, tri_vertex, world_to_clip, width, height,
-                double_sided=None):
-    """XLA stage 1: clip transform + setup rows.
+def _clip_near_host(clip, tri_vertex, keep_mask, cross_mask):
+    """Sutherland–Hodgman clip of `cross_mask` triangles against w = NEAR_EPS
+    (host numpy). Returns (clip_verts (M, 3, 4), bary (M, 3, 3), src (M,)):
+    up to 2 output triangles per input, each vertex carrying its barycentric
+    coordinates in the ORIGINAL triangle so attribute interpolation still
+    addresses the original vertices (the hardware rasterizer gets this for
+    free; here the kernel interpolates stored per-vertex original bary)."""
+    idx = np.nonzero(cross_mask)[0]
+    out_v, out_b, out_src = [], [], []
+    eye = np.eye(3, dtype=np.float32)
+    for t in idx:
+        vs = clip[tri_vertex[t]]                     # (3, 4)
+        polys_v = []
+        polys_b = []
+        for k in range(3):
+            a, b = vs[k], vs[(k + 1) % 3]
+            ba, bb = eye[k], eye[(k + 1) % 3]
+            ina, inb = a[3] > NEAR_EPS, b[3] > NEAR_EPS
+            if ina:
+                polys_v.append(a)
+                polys_b.append(ba)
+            if ina != inb:
+                s = (NEAR_EPS - a[3]) / (b[3] - a[3])
+                polys_v.append(a + s * (b - a))
+                polys_b.append(ba + s * (bb - ba))
+        if len(polys_v) < 3:
+            continue
+        for k in range(1, len(polys_v) - 1):
+            out_v.append([polys_v[0], polys_v[k], polys_v[k + 1]])
+            out_b.append([polys_b[0], polys_b[k], polys_b[k + 1]])
+            out_src.append(t)
+    if not out_v:
+        return (np.zeros((0, 3, 4), np.float32), np.zeros((0, 3, 3), np.float32),
+                np.zeros(0, np.int64))
+    return (np.asarray(out_v, np.float32), np.asarray(out_b, np.float32),
+            np.asarray(out_src, np.int64))
 
-    Returns device rows plus host-side data for binning. Row layout:
-    [x0, y0, x1, y1, x2, y2, z0, z1, z2, iw0, iw1, iw2, bitcast(id),
-     bitcast(flags), 0, 0] where z is reversed-Z NDC depth, iw = 1/clip_w.
-    """
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _setup_device(world_position, tri_vertex, world_to_clip, width, height,
+                  double_sided):
+    """Device stage: clip transform + setup rows for UNCLIPPED triangles +
+    the packed per-triangle host summary [x0,y0,x1,y1, valid, cross] in ONE
+    array (a single device->host transfer feeds binning — per-array syncs
+    each cost a ~25 ms tunnel round trip)."""
     p = jnp.concatenate(
         [world_position, jnp.ones_like(world_position[:, :1])], axis=1
     )
     clip = p @ world_to_clip.T                      # (V, 4)
     w = clip[:, 3]
     safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-    ndc = clip[:, :3] / safe_w[:, None]
-    sx = (ndc[:, 0] + 1.0) * 0.5 * width
-    sy = (-ndc[:, 1] + 1.0) * 0.5 * height
-    sz = ndc[:, 2]
-    iw = 1.0 / safe_w
+    sxv = ((clip[:, 0] / safe_w) + 1.0) * 0.5 * width
+    syv = (-(clip[:, 1] / safe_w) + 1.0) * 0.5 * height
+    szv = clip[:, 2] / safe_w
+    iwv = 1.0 / safe_w
 
     i0, i1, i2 = tri_vertex[:, 0], tri_vertex[:, 1], tri_vertex[:, 2]
     t = tri_vertex.shape[0]
-    ids = jnp.arange(t, dtype=jnp.int32)
-    flags = (
-        double_sided.astype(jnp.int32)
-        if double_sided is not None
-        else jnp.zeros(t, jnp.int32)
-    )
+    behind = (w[tri_vertex] <= NEAR_EPS)
+    n_behind = behind.sum(1)
+    keep = n_behind == 0
+    cross = (n_behind > 0) & (n_behind < 3)
+
     zf = jnp.zeros(t, jnp.float32)
+    onef = jnp.ones(t, jnp.float32)
     rows = jnp.stack(
-        [
-            sx[i0], sy[i0], sx[i1], sy[i1], sx[i2], sy[i2],
-            sz[i0], sz[i1], sz[i2],
-            iw[i0], iw[i1], iw[i2],
-            zf, zf, zf, zf,
-        ],
+        [sxv[i0], syv[i0], sxv[i1], syv[i1], sxv[i2], syv[i2],
+         szv[i0], szv[i1], szv[i2], iwv[i0], iwv[i1], iwv[i2],
+         # identity original-bary (u=b1, v=b2) per vertex
+         zf, zf, onef, zf, zf, onef,
+         zf, zf, zf, zf, zf, zf],
         axis=1,
     )
-    zi = jnp.zeros(t, jnp.int32)
-    rows_i = jnp.stack([ids, flags, zi, zi, zi, zi, zi, zi], axis=1)
-    # Host-side data for binning.
-    w_np = np.asarray(w)
-    sx_np, sy_np = np.asarray(sx), np.asarray(sy)
-    valid = (w_np[np.asarray(i0)] > 1e-6) & (w_np[np.asarray(i1)] > 1e-6) & (
-        w_np[np.asarray(i2)] > 1e-6
+    sx3 = jnp.stack([sxv[i0], sxv[i1], sxv[i2]], 1)
+    sy3 = jnp.stack([syv[i0], syv[i1], syv[i2]], 1)
+    summary = jnp.concatenate(
+        [sx3.min(1, keepdims=True), sy3.min(1, keepdims=True),
+         sx3.max(1, keepdims=True), sy3.max(1, keepdims=True),
+         keep[:, None].astype(jnp.float32), cross[:, None].astype(jnp.float32)],
+        axis=1,
     )
-    x_all = np.stack([sx_np[np.asarray(i0)], sx_np[np.asarray(i1)], sx_np[np.asarray(i2)]], 1)
-    y_all = np.stack([sy_np[np.asarray(i0)], sy_np[np.asarray(i1)], sy_np[np.asarray(i2)]], 1)
-    aabb = np.stack(
-        [x_all.min(1), y_all.min(1), x_all.max(1), y_all.max(1)], 1
-    ).astype(np.float32)
-    return RasterSetup(rows=rows, rows_i=rows_i, valid=valid, screen_aabb=aabb)
+    return rows, clip, summary
+
+
+def build_setup(world_position, tri_vertex, world_to_clip, width, height,
+                double_sided=None):
+    """Stage 1: clip transform, near-plane clipping, setup rows.
+
+    Row layout: [x0, y0, x1, y1, x2, y2, z0, z1, z2, iw0, iw1, iw2,
+    u0, v0, u1, v1, u2, v2, 0...] — z is reversed-Z NDC depth, iw = 1/clip_w,
+    (u_k, v_k) are each setup vertex's barycentrics in the ORIGINAL triangle
+    ((0,0)/(1,0)/(0,1) for unclipped; interpolated for near-clipped pieces).
+    All unclipped rows stay on device; only near-crossing triangles (rare)
+    take the host Sutherland-Hodgman path and are appended.
+    """
+    tv = np.asarray(tri_vertex)
+    t = tv.shape[0]
+    rows_d, clip_d, summary_d = _setup_device(
+        world_position, tri_vertex, world_to_clip, width, height, double_sided
+    )
+    summary = np.asarray(summary_d)                 # ONE host sync
+    aabb = summary[:, 0:4]
+    keep = summary[:, 4] > 0.5
+    cross = summary[:, 5] > 0.5
+
+    ds = (np.asarray(double_sided).astype(np.int32)
+          if double_sided is not None else np.zeros(t, np.int32))
+    ids = np.arange(t, dtype=np.int32)
+    rows_i = np.stack(
+        [ids, ds] + [np.zeros(t, np.int32)] * 6, 1
+    ).astype(np.int32)
+
+    if cross.any():
+        clip = np.asarray(clip_d)                   # host sync, clipped path only
+        cv, cb, cs = _clip_near_host(clip, tv, keep, cross)
+        w = cv[..., 3]
+        safe_w = np.where(np.abs(w) > 1e-9, w, 1e-9)
+        sx = ((cv[..., 0] / safe_w) + 1.0) * 0.5 * width
+        sy = (-(cv[..., 1] / safe_w) + 1.0) * 0.5 * height
+        sz = cv[..., 2] / safe_w
+        iw = 1.0 / safe_w
+        extra = np.concatenate(
+            [np.stack([sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
+                       sz[:, 0], sz[:, 1], sz[:, 2],
+                       iw[:, 0], iw[:, 1], iw[:, 2]], 1),
+             cb[:, 0, 1:3].reshape(-1, 2),
+             cb[:, 1, 1:3].reshape(-1, 2),
+             cb[:, 2, 1:3].reshape(-1, 2),
+             np.zeros((len(cs), SETUP_WIDTH - 18), np.float32)],
+            axis=1,
+        ).astype(np.float32)
+        rows = jnp.concatenate([rows_d, jnp.asarray(extra)])
+        zi = np.zeros(len(cs), np.int32)
+        rows_i = np.concatenate([
+            rows_i,
+            np.stack([cs.astype(np.int32), ds[cs]] + [zi] * 6, 1),
+        ])
+        aabb = np.concatenate([
+            aabb,
+            np.stack([sx.min(1), sy.min(1), sx.max(1), sy.max(1)], 1),
+        ]).astype(np.float32)
+        valid = np.concatenate([keep, np.ones(len(cs), bool)])
+    else:
+        rows = rows_d
+        valid = keep
+    return RasterSetup(
+        rows=rows, rows_i=jnp.asarray(rows_i),
+        valid=valid, screen_aabb=aabb,
+    )
 
 
 def bin_triangles(setup: RasterSetup, width, height, cull: bool = True):
@@ -156,9 +257,11 @@ def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, row
     start = starts_ref[tile]
     count = starts_ref[tile + 1] - start
 
-    def body(k, state):
+    def one_tri(k, state):
         zb, trib, ub, vb = state
-        tri_slot = list_ref[start + k]
+        # Clamped index: the batched loop (TRI_BATCH per iteration) pads the
+        # tail by re-testing the LAST triangle — idempotent for the z-test.
+        tri_slot = list_ref[start + jnp.minimum(k, count - 1)]
         r = rows_ref[tri_slot, :]
         ax, ay, bx, by, cx, cy = r[0], r[1], r[2], r[3], r[4], r[5]
         z0, z1, z2 = r[6], r[7], r[8]
@@ -195,14 +298,16 @@ def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, row
         l2 = e2 * inv_area
         # Reversed-Z depth at pixel (linear in screen space).
         z = l0 * z0 + l1 * z1 + l2 * z2
-        # Perspective-correct barycentrics for attributes.
+        # Perspective-correct interpolation of the ORIGINAL triangle's
+        # barycentrics stored per setup vertex (identity for unclipped
+        # triangles; near-clipped pieces map back to the source triangle).
         pw0 = l0 * iw0
         pw1 = l1 * iw1
         pw2 = l2 * iw2
         denom = pw0 + pw1 + pw2
         inv_denom = jnp.where(jnp.abs(denom) > 1e-20, 1.0 / denom, 0.0)
-        u = pw1 * inv_denom
-        v = pw2 * inv_denom
+        u = (pw0 * r[12] + pw1 * r[14] + pw2 * r[16]) * inv_denom
+        v = (pw0 * r[13] + pw1 * r[15] + pw2 * r[17]) * inv_denom
 
         take = inside & (z > zb) & (z <= 1.0) & (z >= 0.0) & (jnp.abs(area_b) > 1e-12)
         zb = jnp.where(take, z, zb)
@@ -217,7 +322,18 @@ def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, row
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
     )
-    zb, trib, ub, vb = jax.lax.fori_loop(0, count, body, init)
+
+    # TRI_BATCH triangles per loop iteration: the loop construct itself costs
+    # ~485 ns/iteration on TPU (docs/PERFORMANCE.md) while one triangle's
+    # vector work is ~200 ns — batching amortizes the fixed cost 4x.
+    def body(k, state):
+        base = k * TRI_BATCH
+        for j in range(TRI_BATCH):
+            state = one_tri(base + j, state)
+        return state
+
+    n_iter = jnp.where(count > 0, (count + TRI_BATCH - 1) // TRI_BATCH, 0)
+    zb, trib, ub, vb = jax.lax.fori_loop(0, n_iter, body, init)
     z_ref[:, :] = zb
     tri_ref[:, :] = trib
     u_ref[:, :] = ub
@@ -278,8 +394,15 @@ def rasterize_tiles(rows, rows_i, flat_list, offsets, tile_ids, tiles: Tuple[int
 
 
 def rasterize(world_position, tri_vertex, world_to_clip, width, height,
-              double_sided=None, cull_backfaces: bool = True, interpret: bool = False):
-    """Full pipeline -> (z, tri, u, v) cropped to (height, width)."""
+              double_sided=None, cull_backfaces: bool = True, interpret=None):
+    """Full pipeline -> (z, tri, u, v) cropped to (height, width).
+
+    interpret=None auto-selects interpret mode on the CPU backend (tests)."""
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() == "cpu"
+        except RuntimeError:
+            interpret = True
     setup = build_setup(
         world_position, tri_vertex, world_to_clip, width, height, double_sided
     )

@@ -280,10 +280,11 @@ def render(
     """Rasterizer::DrawScene equivalent -> (h, w, 3) HDR linear image
     (+ (h, w, 2) motion vectors when with_motion).
 
-    visibility: "raycast" (BVH primary rays — z-buffer-identical for opaque,
-    currently faster) or "tiled" (the Pallas tile-binned rasterizer kernel,
-    ops/pallas_raster — true edge-function rasterization; alpha-masked
-    materials and blended layers still use ray queries).
+    visibility: "raycast" (BVH primary rays — z-buffer-identical for opaque)
+    or "tiled" (the Pallas tile-binned rasterizer kernel, ops/pallas_raster —
+    true edge-function rasterization with near-plane clipping; pixels whose
+    rasterized hit is an alpha-REJECTED masked texel are re-traced past it by
+    the retry loop below, and blended layers use ray queries).
     """
     w, h = resolution
     py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
@@ -308,7 +309,7 @@ def render(
     # re-tracing past it like the PT any-hit).
     from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry, closest_hit
 
-    if visibility == "tiled" and not meta.has_masked:
+    if visibility == "tiled":
         from gltf_renderer_tpu.ops import pallas_raster as _pr
 
         world_to_clip = jnp.linalg.inv(clip_to_world)
@@ -367,9 +368,9 @@ def render(
                 u=jnp.where(retry, nh.u, cur.u),
                 v=jnp.where(retry, nh.v, cur.v),
             )
-            return _needs_alpha_retry(scene, merged) & retry, merged, it + 1
+            return _needs_alpha_retry(scene, meta, merged) & retry, merged, it + 1
 
-        retry0 = _needs_alpha_retry(scene, hit)
+        retry0 = _needs_alpha_retry(scene, meta, hit)
         _, hit, _ = jax.lax.while_loop(cond, body, (retry0, hit, 0))
 
     valid = hit.tri >= 0

@@ -141,3 +141,71 @@ def test_raster_backend_tiled_visibility(setup):
     # Identical shading given identical visibility; only edge pixels differ.
     diff = np.abs(img_rc - img_tl).max(-1)
     assert (diff > 1e-3).mean() < 0.02, (diff > 1e-3).mean()
+
+
+def test_near_plane_clipping(setup):
+    """A camera INSIDE the scene: triangles crossing w=0 must be clipped, not
+    dropped — coverage must match the ray cast, and the clipped pieces'
+    barycentrics must address the ORIGINAL triangle (u/v agreement)."""
+    world, ptscene, meta, cam = setup
+    w, h = 256, 128
+    cam2 = Camera(y_fov=np.pi / 3, aspect_ratio=2.0, z_near=0.05)
+    # Just outside one face looking through the box: the front face spans
+    # the near plane.
+    cam2.world_to_view = look_at([0.45, 0.0, 0.0], [-1.0, 0.0, 0.0])
+    ref_tri, ref_u, ref_v = _raycast_vis(ptscene, meta, cam2, w, h)
+    world_to_clip = jnp.asarray(cam2.world_to_clip())
+    z, tri, u, v = pr.rasterize(
+        ptscene.world.position, ptscene.world.tri_vertex, world_to_clip, w, h,
+        double_sided=ptscene.world.tri_double_sided, interpret=True,
+    )
+    tri = np.asarray(tri)
+    cov_ref = ref_tri >= 0
+    cov_ras = tri >= 0
+    # The ray cast sees geometry through the whole frustum; the rasterizer
+    # must cover (nearly) all of it — before clipping this was ~0%.
+    both = cov_ref & cov_ras
+    assert both.sum() >= 0.98 * cov_ref.sum()
+    same = both & (tri == ref_tri)
+    assert same.sum() >= 0.97 * both.sum()
+    np.testing.assert_allclose(np.asarray(u)[same], ref_u[same], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(v)[same], ref_v[same], atol=2e-2)
+
+
+def test_raster_render_masked_tiled(tmp_path):
+    """visibility="tiled" on a scene WITH alpha-masked materials: rejected
+    texels are re-traced by the retry loop; the image must match the raycast
+    backend."""
+    from gltf_renderer_tpu.scene.procedural import write_foliage_gltf
+    from gltf_renderer_tpu.render import rasterizer as rz
+
+    path = write_foliage_gltf(str(tmp_path / "f.gltf"))
+    scene = load_gltf(path)
+    tf = flatten.compute_global_transforms(scene)
+    plan = flatten.build_instance_plan(scene)
+    tri_flags = flatten.plan_tri_flags(plan, scene.primitives)
+    pools = jax.tree.map(jnp.asarray, scene.pools)
+    world = flatten.build_world_geometry(
+        pools, plan, jnp.asarray(tf), jnp.asarray(flatten.normal_transforms(tf)), tri_flags
+    )
+    lights = flatten.gather_lights(scene, tf)
+    ptscene, meta = pt.make_pt_scene(
+        world, jax.tree.map(jnp.asarray, scene.materials),
+        jax.tree.map(jnp.asarray, scene.textures), jax.tree.map(jnp.asarray, lights),
+    )
+    assert meta.has_masked
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=2.0, z_near=0.05)
+    cam.world_to_view = look_at([1.5, -1.5, 1.0], [0, 0, 0.3])
+    rset = S.RenderSettings()
+    params = S.PathTracerParams()
+    kw = dict(
+        render_settings=rset, params=params,
+        clip_to_world=jnp.asarray(cam.clip_to_world()),
+        camera_pos=jnp.asarray(cam.position()), resolution=(128, 64),
+        frame=jnp.uint32(0),
+    )
+    img_rc = np.asarray(rz.render(ptscene, meta, visibility="raycast", **kw))
+    img_td = np.asarray(rz.render(ptscene, meta, visibility="tiled", **kw))
+    # Identical modulo sub-pixel rasterization edge rules.
+    diff = np.abs(img_rc - img_td).mean()
+    assert diff < 0.02, diff
