@@ -234,14 +234,19 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
     except RuntimeError:
         run_cpu = False
     if run_cpu:
+        # Device->host pulls through the tunnel are SLOW and serial when done
+        # with per-leaf np.asarray (measured 3.5 s PER ARRAY intermittently).
+        # device_put to the CPU device is async: enqueue every transfer
+        # first, then materialize — one pipelined round trip.
+        def to_cpu(x):
+            if isinstance(x, jax.Array):
+                return jax.device_put(x, cpu)
+            return x
+
+        inputs = jax.tree.map(to_cpu, (world, materials, textures, lights))
+        inputs = jax.tree.map(np.asarray, inputs)
         with jax.default_device(cpu):
-            scene, meta = make_pt_scene(
-                jax.tree.map(np.asarray, world),
-                jax.tree.map(np.asarray, materials),
-                jax.tree.map(np.asarray, textures),
-                jax.tree.map(np.asarray, lights),
-                env=env, on_cpu=False,
-            )
+            scene, meta = make_pt_scene(*inputs, env=env, on_cpu=False)
             host = jax.tree.map(np.asarray, scene._replace(env=None))
         return jax.device_put(host)._replace(env=jax.device_put(env)), meta
 
@@ -299,17 +304,26 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         ))
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
-    wide_maps, wide_root = bvh_ops.build_wide_maps(tree)
+    wide_maps_np, wide_root = bvh_ops.build_wide_maps(tree)
+    # Scene build runs numpy-side (no jit compiles — through the tunnel even
+    # small CPU-graph compiles intermittently cost minutes): assemble the
+    # wide boxes and gather the kernel leaf tables with numpy, then place.
+    nodes_np = np.asarray(packed.nodes)
+    src = wide_maps_np.child_src
+    wide_nodes_np = nodes_np[np.clip(src, 0, None), 0:6]
+    wide_nodes_np = np.where(
+        (src < 0)[..., None], bvh_ops._EMPTY_BOX, wide_nodes_np
+    ).reshape(src.shape[0], 24).astype(np.float32)
     wide_maps = bvh_ops.WideMaps(
-        child_src=jnp.asarray(wide_maps.child_src),
-        meta=jnp.asarray(wide_maps.meta),
-        leaf_ids=jnp.asarray(wide_maps.leaf_ids),
+        child_src=jnp.asarray(wide_maps_np.child_src),
+        meta=jnp.asarray(wide_maps_np.meta),
+        leaf_ids=jnp.asarray(wide_maps_np.leaf_ids),
     )
-    wide_nodes = bvh_ops.assemble_wide(packed.nodes, wide_maps)
+    wide_nodes = jnp.asarray(wide_nodes_np)
     # Kernel leaf tables: only the LEAF rows go to VMEM (records are stored
     # per binary node; internal rows are zeros and would double the budget).
-    leaf_records = packed.records[wide_maps.leaf_ids]
-    leaf_words = packed.words[wide_maps.leaf_ids]
+    leaf_records = jnp.asarray(np.asarray(packed.records)[wide_maps_np.leaf_ids])
+    leaf_words = jnp.asarray(np.asarray(packed.words)[wide_maps_np.leaf_ids])
     table_bytes = 4 * (
         wide_nodes.size + wide_maps.meta.size + leaf_records.size
         + leaf_words.size
