@@ -63,13 +63,21 @@ def build_bench_scene(width, height, scene_kind=None):
     scene = load_gltf(path)
     mark("glb write+load")
 
+    # Load-time precompute stays OFF the TPU: a device round trip through
+    # the tunnel intermittently costs minutes (docs/PERFORMANCE.md).
     tf = flatten.compute_global_transforms(scene)
     plan = flatten.build_instance_plan(scene)
     tri_flags = flatten.plan_tri_flags(plan, scene.primitives)
-    pools = jax.tree.map(jnp.asarray, scene.pools)
-    world = flatten.build_world_geometry(
-        pools, plan, jnp.asarray(tf), jnp.asarray(flatten.normal_transforms(tf)), tri_flags
-    )
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu):
+        pools = jax.tree.map(jnp.asarray, scene.pools)
+        world = jax.tree.map(np.asarray, flatten.build_world_geometry(
+            pools, plan, jnp.asarray(tf),
+            jnp.asarray(flatten.normal_transforms(tf)), tri_flags
+        ))
     lights = flatten.gather_lights(scene, tf)
 
     # Analytic HDR sky (sun-ish hotspot + gradient), 512x256 equirect.
@@ -92,9 +100,7 @@ def build_bench_scene(width, height, scene_kind=None):
     mark("env build")
 
     ptscene, meta = pt.make_pt_scene(
-        world, jax.tree.map(jnp.asarray, scene.materials),
-        jax.tree.map(jnp.asarray, scene.textures), jax.tree.map(jnp.asarray, lights),
-        env=env,
+        world, scene.materials, scene.textures, lights, env=env,
     )
     mark("make_pt_scene")
     n_tris = int(np.asarray(world.tri_vertex).shape[0])

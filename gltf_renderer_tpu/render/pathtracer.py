@@ -91,9 +91,12 @@ class PTMeta(NamedTuple):
     wide_root: int = 0       # stack seed for the wide packet kernel
 
 
-# Pallas packet kernel needs nodes + compact leaf records resident in VMEM
-# (measured usable VMEM on v5e: ~64-96 MB; leave room for ray blocks/outputs).
-PALLAS_VMEM_BUDGET = 48 * 1024 * 1024
+# Pallas packet kernel needs nodes + compact leaf records resident in VMEM.
+# A single-table probe fit 64 MB on the v5e, but a real render with 46 MB of
+# tables FAULTED the TPU worker (kernel + block buffers + scratch on top) —
+# 36 MB is the validated ceiling (274k-tri courtyard = ~12 MB, fine; ~800k
+# tris still fit; beyond that the XLA wavefront path takes over).
+PALLAS_VMEM_BUDGET = 36 * 1024 * 1024
 
 
 def _pallas_available() -> bool:
