@@ -138,19 +138,10 @@ def main(argv=None) -> int:
     else:
         centre, radius = np.zeros(3), 1.0
     if args.camera is not None and scene.cameras:
-        # Use a glTF camera: world_to_view = inverse of the camera node's
-        # global transform (Main.cpp camera selection).
-        cam_def = scene.cameras[args.camera]
-        node_id = next(
-            (i for i, nd in enumerate(scene.nodes) if nd.camera == args.camera), None
-        )
-        renderer.camera.type = cam_def.type
-        renderer.camera.y_fov = cam_def.yfov
-        renderer.camera.aspect_ratio = cam_def.aspect or (args.width / args.height)
-        renderer.camera.z_near = cam_def.znear
-        renderer.camera.z_far = cam_def.zfar
-        renderer.camera.x_mag = cam_def.xmag
-        renderer.camera.y_mag = cam_def.ymag
+        # Use a glTF camera: the renderer re-derives world_to_view from the
+        # camera node's (possibly animated) global transform every frame.
+        renderer.select_camera(args.camera, viewport_aspect=args.width / args.height)
+        node_id = renderer._track_camera_node
         if node_id is not None:
             renderer.camera.world_to_view = np.linalg.inv(tf[node_id]).astype(np.float32)
     else:

@@ -84,6 +84,12 @@ class Renderer:
         self.frame_index = 0
         self.stats: Dict[str, float] = {}
         self.profile = False  # per-pass ms in stats["pass_ms"] (PIX markers)
+        # glTF camera tracking: when set, the view matrix is re-derived from
+        # the camera node's global transform EVERY frame, so cameras riding
+        # animated nodes move with the animation (Gltf.cpp:1015-1041 node
+        # globals + Camera.h:70-73 SetWorldToView).
+        self._track_camera: Optional[int] = None
+        self._track_camera_node: Optional[int] = None
 
     # -- loading -----------------------------------------------------------
 
@@ -115,6 +121,39 @@ class Renderer:
     def select_animation(self, index: Optional[int]):
         self.player.animation = None if index is None else self.scene.animations[index]
         self.player.time = 0.0
+
+    def select_camera(self, index: Optional[int], viewport_aspect: float = None):
+        """Follow glTF camera `index` (None = back to the free/orbit camera).
+
+        Intrinsics come from the camera def; the view matrix tracks the
+        camera node's animated global transform each draw_frame.
+        """
+        self._track_camera = index
+        self._track_camera_node = None
+        if index is None:
+            return
+        cam = self.scene.cameras[index]
+        self._track_camera_node = next(
+            (i for i, nd in enumerate(self.scene.nodes) if nd.camera == index), None
+        )
+        self.camera.type = cam.type
+        self.camera.y_fov = cam.yfov
+        self.camera.aspect_ratio = cam.aspect or (
+            viewport_aspect or self.settings.width / self.settings.height
+        )
+        self.camera.z_near = cam.znear
+        self.camera.z_far = cam.zfar
+        self.camera.x_mag = cam.xmag
+        self.camera.y_mag = cam.ymag
+
+    def _apply_tracked_camera(self, node_tf):
+        if self._track_camera is None or self._track_camera_node is None:
+            return
+        # world_to_view = inverse of the node's global transform (the node
+        # global already includes the Z-up basis change at the scene root).
+        self.camera.world_to_view = np.linalg.inv(
+            np.asarray(node_tf[self._track_camera_node])
+        ).astype(np.float32)
 
     def load_environment(self, path_or_array):
         if isinstance(path_or_array, str):
@@ -196,8 +235,15 @@ class Renderer:
         return self._bvh_host
 
     def _reset_key(self):
+        # Dynamic params join the key: the reference resets accumulation on
+        # any Graphics-tab change (Main.cpp:262-337 `reset |=` chains).
+        param_key = tuple(
+            tuple(np.asarray(leaf).ravel().tolist())
+            for leaf in jax.tree.leaves(self.params)
+        )
         return (
             self.settings.pt,
+            param_key,
             tuple(np.asarray(self.camera.world_to_clip()).ravel().tolist()),
             id(self.scene),
             id(self.env),
@@ -245,7 +291,8 @@ class Renderer:
             return out
 
         pose = self.player.tick(self.scene, delta) if self.player.animation else None
-        _timed("skin_and_refit", self._update_geometry, pose)
+        node_tf = _timed("skin_and_refit", self._update_geometry, pose)
+        self._apply_tracked_camera(node_tf)
 
         key = self._reset_key()
         if key != self._last_reset_key:
@@ -260,7 +307,14 @@ class Renderer:
 
         if st.backend == "pathtracer":
             if self.accumulated_frames < st.pt.max_accumulated_frames:
-                frame_seed = seed if seed is not None else self.accumulated_frames
+                # Pathtracer.cpp:316: seed = frame counter when
+                # use_frame_as_seed, else the pinned settings seed.
+                if seed is not None:
+                    frame_seed = seed
+                elif st.pt.use_frame_as_seed:
+                    frame_seed = self.accumulated_frames
+                else:
+                    frame_seed = self.params.fixed_seed
                 self._accum = _timed("path_trace_scene", _pt_step,
                     self._ptscene,
                     self._meta,

@@ -56,6 +56,9 @@ class PathTracerSettings:
 
     cull_backface: bool = False
     accumulate: bool = True
+    # Pathtracer.h:78-79 / Main.cpp:302: seed every accumulation pass by the
+    # frame counter (default), or pin the per-pass seed to `fixed_seed`.
+    use_frame_as_seed: bool = True
     luminance_clamp_enabled: bool = True
     indirect_environment_only: bool = False
     point_lights: bool = True
@@ -79,6 +82,10 @@ class PathTracerParams(NamedTuple):
     """Dynamic (traced) scalars. Defaults from Main.cpp:455-474."""
 
     environment_intensity: Any = 1.0
+    # Pathtracer.h:79 `seed`: used when use_frame_as_seed is off. Dynamic
+    # (traced) so changing it never recompiles; the reset that the reference's
+    # UI triggers on change (Main.cpp:304) is the renderer's reset key.
+    fixed_seed: Any = 0
     environment_color: Any = (1.0, 1.0, 1.0)
     luminance_clamp: Any = 20.0
     min_russian_roulette_continue_prob: Any = 0.05

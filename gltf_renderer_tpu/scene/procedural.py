@@ -306,6 +306,61 @@ def write_skinned_gltf(path):
     return path
 
 
+def write_camera_anim_gltf(path):
+    """Box + glTF camera riding a translation-animated node.
+
+    Exercises per-tick camera-from-node view derivation (Gltf.cpp:1015-1041
+    node globals feeding Camera.h:70-73 SetWorldToView): at t=0 the camera is
+    centered on the box; by t=1 it has panned +X so the box moves in frame.
+    """
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    p, n, uv, idx = box_mesh()
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    ii = _acc(doc, bin_parts, idx, target=34963)
+    times = np.asarray([0.0, 1.0], np.float32)
+    trans = np.asarray([[0.0, 0.0, 4.0], [2.0, 0.0, 4.0]], np.float32)
+    it = _acc(doc, bin_parts, times)
+    itr = _acc(doc, bin_parts, trans)
+    doc["meshes"] = [
+        {"primitives": [{"attributes": {"POSITION": ip, "NORMAL": inn}, "indices": ii, "material": 0}]}
+    ]
+    doc["materials"] = [
+        {"pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.7, 0.2, 1.0], "roughnessFactor": 0.8}}
+    ]
+    doc["cameras"] = [
+        {"type": "perspective", "perspective": {"yfov": 0.8, "znear": 0.01, "aspectRatio": 1.5}}
+    ]
+    doc["extensionsUsed"] = ["KHR_lights_punctual"]
+    doc["extensions"] = {
+        "KHR_lights_punctual": {
+            "lights": [{"type": "point", "intensity": 60.0, "color": [1, 1, 1]}]
+        }
+    }
+    doc["nodes"] = [
+        {"mesh": 0, "name": "box"},
+        {"camera": 0, "translation": [0.0, 0.0, 4.0], "name": "cam"},
+        {
+            "translation": [2.0, 3.0, 2.0],
+            "extensions": {"KHR_lights_punctual": {"light": 0}},
+            "name": "light",
+        },
+    ]
+    doc["animations"] = [
+        {
+            "samplers": [{"input": it, "output": itr, "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0, "target": {"node": 1, "path": "translation"}}],
+        }
+    ]
+    doc["scenes"] = [{"nodes": [0, 1, 2]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
 def write_morph_gltf(path):
     """AnimatedMorphCube-style: box with one morph target + weight animation."""
     doc = {"asset": {"version": "2.0"}, "scene": 0}

@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -118,3 +120,72 @@ def test_free_controller():
     assert -p1[2] < d0
     fc.rotate(0.3, 0.1)
     assert np.isfinite(fc.world_to_view()).all()
+
+
+def test_animated_camera_node(tmp_path):
+    """A glTF camera riding an animated node: the view tracks the node's
+    global transform per tick (Gltf.cpp:1015-1041 -> Camera.h:70-73)."""
+    from tests.scenes import write_camera_anim_gltf
+
+    path = write_camera_anim_gltf(str(tmp_path / "camanim.gltf"))
+    settings = S.RenderSettings(
+        backend="pathtracer", width=48, height=32,
+        pt=S.PathTracerSettings(max_bounces=0, min_bounces=0),
+    )
+    r = Renderer(settings)
+    scene = r.load_scene(path)
+    assert scene.cameras, "camera def loaded"
+    r.select_animation(0)
+    r.select_camera(0, viewport_aspect=48 / 32)
+    assert r.camera.y_fov == pytest.approx(0.8)
+    img0 = r.draw_frame(delta=0.0)
+    pose0 = r.camera.world_to_view.copy()
+    # At t=0 the camera sits at glTF (0,0,4) looking at the box: view-space
+    # position of the origin is ~(0, 0, -4).
+    origin_vs = pose0 @ np.asarray([0, 0, 0, 1.0], np.float32)
+    np.testing.assert_allclose(origin_vs[:3], [0.0, 0.0, -4.0], atol=1e-4)
+    img1 = r.draw_frame(delta=1.0)  # camera pans +X by 2
+    pose1 = r.camera.world_to_view.copy()
+    assert not np.allclose(pose0, pose1), "view matrix tracked the animation"
+    origin_vs1 = pose1 @ np.asarray([0, 0, 0, 1.0], np.float32)
+    np.testing.assert_allclose(origin_vs1[:3], [-2.0, 0.0, -4.0], atol=1e-4)
+    assert (img0 != img1).any(), "image changed with the camera animation"
+    # Accumulation restarted when the camera moved.
+    assert r.accumulated_frames == 1
+
+
+def test_use_frame_as_seed_off(tmp_path):
+    """use_frame_as_seed=False (Pathtracer.cpp:316): every accumulation pass
+    reuses the pinned seed, so two passes average to the first frame."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    settings = S.RenderSettings(
+        backend="pathtracer", width=48, height=32,
+        pt=S.PathTracerSettings(max_bounces=0, min_bounces=0,
+                                use_frame_as_seed=False),
+    )
+    r = Renderer(settings)
+    r.load_scene(path)
+    r.camera.aspect_ratio = 48 / 32
+    r.camera.z_near = 0.01
+    r.camera.world_to_view = look_at([2.0, -2.0, 1.5], [0, 0, 0])
+    r.draw_frame()
+    accum0 = np.asarray(r._accum)
+    r.draw_frame()
+    accum1 = np.asarray(r._accum)
+    # Same seed -> identical sample -> the running-mean HDR accumulator is
+    # bit-identical (only the frame-indexed tonemap dither varies per draw).
+    np.testing.assert_array_equal(accum0, accum1)
+
+    settings_on = dataclasses.replace(
+        settings, pt=dataclasses.replace(settings.pt, use_frame_as_seed=True)
+    )
+    r2 = Renderer(settings_on)
+    r2.load_scene(path)
+    r2.camera.aspect_ratio = 48 / 32
+    r2.camera.z_near = 0.01
+    r2.camera.world_to_view = look_at([2.0, -2.0, 1.5], [0, 0, 0])
+    r2.draw_frame()
+    b0 = np.asarray(r2._accum)
+    r2.draw_frame()
+    b1 = np.asarray(r2._accum)
+    assert (b0 != b1).any(), "frame-seeded accumulation jitters"
