@@ -120,6 +120,52 @@ def build_bench_scene(width, height, scene_kind=None):
     return ptscene, meta, settings, params, c2w, n_tris
 
 
+FIDELITY_RES = (256, 144)
+FIDELITY_SPP = 8
+FIDELITY_GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "goldens", "bench_fidelity.npy",
+)
+
+
+def render_fidelity_probe(ptscene, meta, settings, params, c2w):
+    """Mean radiance of FIDELITY_SPP fixed-seed samples at FIDELITY_RES.
+
+    Reuses the bench scene (FIDELITY_RES is 16:9, so the camera matrix is
+    identical). Seeds are pinned, so a TPU render and the committed
+    CPU-rendered golden (tools/make_goldens.py bench_fidelity) differ only by
+    backend numerics + kernel choice (Pallas packet traversal vs XLA
+    wavefront) — the bench's standing >=0.99-SSIM fidelity check
+    (BASELINE.json north star's SSIM axis).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gltf_renderer_tpu.render import pathtracer as pt
+
+    w, h = FIDELITY_RES
+    trace_j = jax.jit(pt.trace, static_argnums=(1, 2, 5))
+    acc = np.zeros((h, w, 3), np.float64)
+    for s in range(1, FIDELITY_SPP + 1):
+        acc += np.asarray(
+            trace_j(ptscene, meta, settings, params, c2w, (w, h), jnp.uint32(s))
+        )
+    return (acc / FIDELITY_SPP).astype(np.float32)
+
+
+def fidelity_ssim(probe):
+    """Windowed SSIM of the probe vs the committed CPU golden (or None)."""
+    if not os.path.exists(FIDELITY_GOLDEN):
+        return None
+    from gltf_renderer_tpu.utils.ssim import ssim
+
+    golden = np.load(FIDELITY_GOLDEN).astype(np.float32)
+    if golden.shape != probe.shape:
+        return None
+    rng_ = float(max(golden.max(), probe.max(), 1e-6))
+    return round(ssim(probe, golden, data_range=rng_), 5)
+
+
 def main():
     t_setup = time.time()
     import jax
@@ -161,6 +207,14 @@ def main():
 
     mrays = total_rays / elapsed / 1e6
     scene_kind = os.environ.get("BENCH_SCENE", "helmet")
+
+    ssim_score = None
+    if scene_kind == "helmet" and os.environ.get("BENCH_SSIM", "1") != "0":
+        try:
+            probe = render_fidelity_probe(ptscene, meta, settings, params, c2w)
+            ssim_score = fidelity_ssim(probe)
+        except Exception as e:  # fidelity probe must never sink the bench
+            print(f"[bench] fidelity probe failed: {e}", file=sys.stderr)
     metric = ("pt_mrays_per_s_per_chip_1080p" if scene_kind == "helmet"
               else f"pt_mrays_per_s_{scene_kind}_1080p")
     result = {
@@ -183,6 +237,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "mean_radiance": float(np.asarray(acc).mean() / steps),
                     "nan_pixels": nan_count,
+                    "ssim_vs_cpu_8spp": ssim_score,
                 }
             }
         ),

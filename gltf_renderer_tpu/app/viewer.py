@@ -8,17 +8,24 @@ A render thread runs the same Renderer event loop the reference drives per
 frame (camera input -> reset accumulation -> progressive PT / raster draw),
 and a stdlib HTTP server blits frames and feeds input back:
 
-  GET  /            small HTML page (canvas + drag/wheel handlers)
+  GET  /            small HTML page (canvas + drag/wheel handlers + panel)
   GET  /frame.png   latest rendered frame (+ X-Frame-Seq header)
-  GET  /state       JSON {frame, spp, backend, scene}
+  GET  /state       JSON {frame, spp, backend, scene, settings, animations..}
   POST /input       JSON {type: "orbit"|"dolly"|"pan"|"key"|"backend"|
-                          "load", ...} — mouse orbit/dolly (the reference's
-                          CameraController), backend toggle (its Graphics
-                          tab), load-by-path (its drag-drop).
+                          "load"|"set"|"animation"|"anim"|"camera", ...} —
+                          mouse orbit/dolly (the reference's
+                          CameraController), backend toggle, the full
+                          Graphics-tab control set ("set" covers every
+                          path-tracer flag/slider incl. the 28 debug
+                          outputs, tonemap, bloom), animation
+                          play/pause/loop/time transport, glTF camera
+                          select, load-by-path (its drag-drop).
 
 Parity map: window/event loop = Main.cpp:159-226; orbit/dolly input =
-CameraController.h:9-243; backend + settings toggles = the ImGui Graphics
-tab; drag-drop load = Main.cpp:238-254.
+CameraController.h:9-243; Graphics tab controls = Main.cpp:224-340 (debug
+output :288-300, Use Frame As Seed :302-305, bounces/RR :307-320, env
+:322-330, luminance clamp :331-333, tonemap/exposure :226-247); glTF tab
+animation transport = Main.cpp:196-222; drag-drop load = Main.cpp:238-254.
 """
 
 from __future__ import annotations
@@ -37,12 +44,114 @@ _PAGE = """<!doctype html>
 <html><head><title>gltf-renderer-tpu</title><style>
  body { margin:0; background:#111; color:#ccc; font:13px monospace; }
  #hud { position:fixed; top:8px; left:8px; background:#0008; padding:6px; }
+ #panel { position:fixed; top:8px; right:8px; background:#000b; padding:6px;
+          max-height:95vh; overflow-y:auto; width:280px; }
+ #panel label { display:flex; justify-content:space-between; margin:2px 0; }
+ #panel input[type=number] { width:70px; }
  img { display:block; margin:auto; image-rendering:pixelated; }
 </style></head><body>
 <div id="hud">drag: orbit &middot; wheel: dolly &middot; shift-drag: pan
  &middot; <span id="stat"></span></div>
+<details id="panel"><summary>Graphics</summary>
+<div><label>Renderer <select id="backend">
+  <option value="pathtracer">Path Tracer</option>
+  <option value="rasterizer">Rasterizer</option></select></label>
+<label>Debug Output <select id="debug_output"></select></label>
+<label>Tonemapper <select id="tonemapper">
+  <option value="0">None</option><option value="1">AgX</option></select></label>
+<label>Exposure <input type="number" id="exposure" step="0.1"></label>
+<label>Min Bounces <input type="number" id="min_bounces" min="0" max="5"></label>
+<label>Max Bounces <input type="number" id="max_bounces" min="0" max="5"></label>
+<label>Min RR Prob <input type="number" id="min_russian_roulette_continue_prob" step="0.05"></label>
+<label>Max RR Prob <input type="number" id="max_russian_roulette_continue_prob" step="0.05"></label>
+<label>Env Intensity <input type="number" id="environment_intensity" step="0.1"></label>
+<label>Luminance Clamp <input type="number" id="luminance_clamp" step="1"></label>
+<label>Seed <input type="number" id="fixed_seed" step="1"></label>
+<div id="checks"></div>
+<hr><label>Animation <select id="animsel"><option value="">None</option></select></label>
+<label>Play <input type="checkbox" id="anim_play" checked></label>
+<label>Loop <input type="checkbox" id="anim_loop" checked></label>
+<label>Time <input type="range" id="anim_time" min="0" max="10" step="0.05"
+  style="width:140px"></label>
+<label>Camera <select id="camsel"><option value="">Free orbit</option></select></label>
+</div></details>
 <img id="v" draggable="false">
 <script>
+const DEBUG_NAMES = ['None','Hit Kind','Vertex Color','Vertex Alpha',
+ 'Vertex Normal','Vertex Tangent','Vertex Bitangent','Texcoord 0','Texcoord 1',
+ 'Color','Alpha','Shading Normal','Shading Tangent','Shading Bitangent',
+ 'Metalness','Roughness','Specular','Specular Color','Clearcoat',
+ 'Clearcoat Roughness','Clearcoat Normal','Transmissive','Bounce Direction',
+ 'Bounce BSDF','Bounce PDF','Bounce Weight','Bounce Is Transmission',
+ 'Hemisphere View Side'];
+const BOOLS = ['accumulate','luminance_clamp_enabled',
+ 'indirect_environment_only','point_lights','shadow_rays','alpha_shadows',
+ 'environment_map','environment_mis','material_diffuse_white',
+ 'material_use_geometric_normals','material_mis','show_nan','show_inf',
+ 'shading_normal_adaptation','cull_backface','use_frame_as_seed'];
+const NUMS = ['exposure','min_bounces','max_bounces',
+ 'min_russian_roulette_continue_prob','max_russian_roulette_continue_prob',
+ 'environment_intensity','luminance_clamp','fixed_seed'];
+function send(field, value) {
+  fetch('/input', {method:'POST', body: JSON.stringify(
+    {type:'set', field: field, value: value})});
+}
+const dbg = document.getElementById('debug_output');
+DEBUG_NAMES.forEach((n, i) => {
+  const o = document.createElement('option'); o.value = i; o.textContent = n;
+  dbg.appendChild(o);
+});
+dbg.onchange = () => send('debug_output', parseInt(dbg.value));
+const checks = document.getElementById('checks');
+BOOLS.forEach(f => {
+  const l = document.createElement('label');
+  l.innerHTML = f.replaceAll('_',' ') + ' <input type="checkbox" id="' + f + '">';
+  checks.appendChild(l);
+  l.querySelector('input').onchange = e => send(f, e.target.checked);
+});
+NUMS.forEach(f => {
+  const el = document.getElementById(f);
+  if (el) el.onchange = () => send(f, parseFloat(el.value));
+});
+document.getElementById('tonemapper').onchange =
+  e => send('tonemapper', parseInt(e.target.value));
+document.getElementById('backend').onchange =
+  e => send('backend', e.target.value);
+document.getElementById('animsel').onchange = e => fetch('/input',
+  {method:'POST', body: JSON.stringify({type:'animation',
+   index: e.target.value === '' ? null : parseInt(e.target.value)})});
+document.getElementById('anim_play').onchange = e => fetch('/input',
+  {method:'POST', body: JSON.stringify({type:'anim', playing: e.target.checked})});
+document.getElementById('anim_loop').onchange = e => fetch('/input',
+  {method:'POST', body: JSON.stringify({type:'anim', looping: e.target.checked})});
+document.getElementById('anim_time').oninput = e => fetch('/input',
+  {method:'POST', body: JSON.stringify({type:'anim', time: parseFloat(e.target.value),
+   playing: false})});
+document.getElementById('camsel').onchange = e => fetch('/input',
+  {method:'POST', body: JSON.stringify({type:'camera',
+   index: e.target.value === '' ? null : parseInt(e.target.value)})});
+let uiInit = false;
+function syncUi(s) {
+  if (uiInit) return;
+  uiInit = true;
+  BOOLS.forEach(f => { const el = document.getElementById(f);
+    if (el) el.checked = !!s.settings[f]; });
+  NUMS.forEach(f => { const el = document.getElementById(f);
+    if (el) el.value = s.settings[f]; });
+  dbg.value = s.settings.debug_output;
+  document.getElementById('tonemapper').value = s.settings.tonemapper;
+  document.getElementById('backend').value = s.backend;
+  const asel = document.getElementById('animsel');
+  for (let i = 0; i < s.animations; i++) {
+    const o = document.createElement('option'); o.value = i;
+    o.textContent = 'Animation ' + i; asel.appendChild(o);
+  }
+  const csel = document.getElementById('camsel');
+  for (let i = 0; i < s.cameras; i++) {
+    const o = document.createElement('option'); o.value = i;
+    o.textContent = 'Camera ' + i; csel.appendChild(o);
+  }
+}
 const img = document.getElementById('v');
 const stat = document.getElementById('stat');
 let seq = 0, busy = false;
@@ -112,6 +221,89 @@ class ViewerState:
             self.spp = spp
 
 
+# Graphics-tab field registry (Main.cpp:224-340). Every PathTracerSettings
+# flag/int is a STATIC jit argument — changing one recompiles, exactly like
+# the reference's `reset` path rebuilding accumulation.
+_PT_BOOLS = (
+    "accumulate", "luminance_clamp_enabled", "indirect_environment_only",
+    "point_lights", "shadow_rays", "alpha_shadows", "environment_map",
+    "environment_mis", "material_diffuse_white",
+    "material_use_geometric_normals", "material_mis", "show_nan", "show_inf",
+    "shading_normal_adaptation", "cull_backface", "use_frame_as_seed",
+)
+_PT_INTS = ("min_bounces", "max_bounces", "debug_output", "max_accumulated_frames")
+_PARAM_FIELDS = (
+    "environment_intensity", "luminance_clamp",
+    "min_russian_roulette_continue_prob", "max_russian_roulette_continue_prob",
+    "fixed_seed",
+)
+
+
+def _apply_setting(renderer, field: str, value) -> bool:
+    """One Graphics-tab control change -> renderer settings/params."""
+    import dataclasses
+
+    from gltf_renderer_tpu.render import settings as S
+
+    st = renderer.settings
+    if field in _PT_BOOLS:
+        pt = dataclasses.replace(st.pt, **{field: bool(value)})
+    elif field in _PT_INTS:
+        v = int(value)
+        if field in ("min_bounces", "max_bounces"):
+            # UI clamps to the hard cap (Pathtracer.h:102; Main.cpp sliders).
+            v = max(0, min(v, S.MAX_BOUNCES_HARD_CAP))
+        pt = dataclasses.replace(st.pt, **{field: v})
+        if pt.min_bounces > pt.max_bounces:
+            if field == "min_bounces":
+                pt = dataclasses.replace(pt, max_bounces=pt.min_bounces)
+            else:
+                pt = dataclasses.replace(pt, min_bounces=pt.max_bounces)
+    elif field in _PARAM_FIELDS:
+        v = int(value) if field == "fixed_seed" else float(value)
+        renderer.params = renderer.params._replace(**{field: v})
+        return True
+    elif field == "tonemapper":
+        tm = dataclasses.replace(
+            st.tonemap,
+            tonemapper=S.TONEMAPPER_AGX if value in (1, "1", "agx") else S.TONEMAPPER_NONE,
+        )
+        renderer.settings = dataclasses.replace(st, tonemap=tm)
+        return True
+    elif field == "exposure":
+        tm = dataclasses.replace(st.tonemap, exposure=float(value))
+        renderer.settings = dataclasses.replace(st, tonemap=tm)
+        return True
+    elif field == "bloom_enabled":
+        renderer.settings = dataclasses.replace(
+            st, bloom=dataclasses.replace(st.bloom, enabled=bool(value)))
+        return True
+    elif field == "bloom_strength":
+        renderer.settings = dataclasses.replace(
+            st, bloom=dataclasses.replace(st.bloom, strength=float(value)))
+        return True
+    elif field == "backend":
+        renderer.settings = dataclasses.replace(st, backend=str(value))
+        return True
+    else:
+        logging.warning("unknown setting %r", field)
+        return False
+    renderer.settings = dataclasses.replace(st, pt=pt)
+    return True
+
+
+def _settings_dict(renderer):
+    """Graphics-tab state snapshot for /state (UI sync + tests)."""
+    st = renderer.settings
+    d = {f: getattr(st.pt, f) for f in _PT_BOOLS + _PT_INTS}
+    d.update({f: float(getattr(renderer.params, f)) for f in _PARAM_FIELDS})
+    d["tonemapper"] = st.tonemap.tonemapper
+    d["exposure"] = st.tonemap.exposure
+    d["bloom_enabled"] = st.bloom.enabled
+    d["bloom_strength"] = st.bloom.strength
+    return d
+
+
 def _apply_inputs(state: ViewerState, evs) -> bool:
     """Reference CameraController semantics: yaw/pitch per pixel dragged,
     exponential dolly, pan in view plane. Returns True if the camera moved."""
@@ -137,6 +329,37 @@ def _apply_inputs(state: ViewerState, evs) -> bool:
                 st, backend=("rasterizer" if st.backend == "pathtracer"
                              else "pathtracer"))
             moved = True
+        elif t == "set":
+            moved |= _apply_setting(
+                state.renderer, str(ev.get("field", "")), ev.get("value"))
+        elif t == "animation":
+            # glTF-tab animation combo (Main.cpp:196-222): index or null.
+            idx = ev.get("index", None)
+            try:
+                state.renderer.select_animation(
+                    None if idx is None else int(idx))
+                moved = True
+            except (IndexError, ValueError) as e:
+                logging.error("animation select failed: %s", e)
+        elif t == "anim":
+            # Transport: play/pause, loop, scrub (AnimationPlayer fields).
+            p = state.renderer.player
+            if "playing" in ev:
+                p.playing = bool(ev["playing"])
+            if "looping" in ev:
+                p.looping = bool(ev["looping"])
+            if "time" in ev:
+                p.time = float(ev["time"])
+                moved = True
+        elif t == "camera":
+            idx = ev.get("index", None)
+            try:
+                state.renderer.select_camera(
+                    None if idx is None else int(idx),
+                    viewport_aspect=state.width / state.height)
+                moved = True
+            except (IndexError, ValueError) as e:
+                logging.error("camera select failed: %s", e)
         elif t == "load":
             try:
                 state.renderer.load_scene(str(ev.get("path", "")))
@@ -155,13 +378,18 @@ def render_loop(state: ViewerState, max_spp: int = 512):
     resets it (the Renderer's reset-on-change key does this automatically)."""
     from PIL import Image
 
+    last = time.perf_counter()
     while state.running:
         evs = state.take_inputs()
         _apply_inputs(state, evs)
-        if state.renderer.accumulated_frames >= max_spp and not evs:
+        p = state.renderer.player
+        animating = p.animation is not None and p.playing
+        now = time.perf_counter()
+        delta, last = (now - last), now
+        if not animating and state.renderer.accumulated_frames >= max_spp and not evs:
             time.sleep(0.05)
             continue
-        img = state.renderer.draw_frame(delta=0.0)
+        img = state.renderer.draw_frame(delta=delta if animating else 0.0)
         buf = io.BytesIO()
         Image.fromarray(np.asarray(img)).save(buf, format="PNG")
         state.publish(buf.getvalue(), state.renderer.accumulated_frames)
@@ -194,11 +422,18 @@ def make_handler(state: ViewerState):
                     self._send(200, png, "image/png",
                                [("X-Frame-Seq", str(seq))])
             elif path == "/state":
+                r = state.renderer
+                scn = r.scene
                 body = json.dumps({
                     "frame": state.frame_seq,
                     "spp": int(state.spp),
-                    "backend": state.renderer.settings.backend,
+                    "backend": r.settings.backend,
                     "scene": state.scene_path,
+                    "settings": _settings_dict(r),
+                    "animations": len(scn.animations) if scn else 0,
+                    "cameras": len(scn.cameras) if scn else 0,
+                    "animation_playing": bool(r.player.playing),
+                    "animation_time": float(r.player.time),
                 }).encode()
                 self._send(200, body, "application/json")
             else:

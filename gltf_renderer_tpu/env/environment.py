@@ -396,10 +396,16 @@ def env_sample(env: EnvMaps, u2):
     """
     if env.alias_rows is not None and u2.shape[-1] >= 4:
         size = env.importance[0].shape[0]
-        uv, pdf, color = sampling.sample_importance_alias(
+        uv, pdf, _texel_color = sampling.sample_importance_alias(
             env.alias_rows, size, env.importance[-1][0, 0], u2
         )
         direction = square_to_sphere(uv_to_unit_square(uv))
+        # Radiance is the BILINEAR cube fetch at the jittered direction —
+        # exactly the reference's environment_map.SampleLevel(dir, 0)
+        # (PathTracer.lib.hlsl:700) and identical to the descent path; the
+        # alias row's texel-center color is only a fallback for tables
+        # built without a cube map.
+        color = sample_cube_level(env.cube[0], direction)
         return direction, color, pdf / (4.0 * PI)
     if env.importance_quads:
         uv, pdf = sampling.sample_importance_map_quads(

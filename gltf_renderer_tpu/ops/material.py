@@ -156,7 +156,6 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     ty = jnp.where(is_near[..., None], 0.0, ty)
 
     ah, aw = textures.atlas.shape[0], textures.atlas.shape[1]
-    flat = textures.atlas.reshape(-1, textures.atlas.shape[-1])
 
     def flat_idx(xi, yi):
         xi = jnp.clip(wrap(xi, w, ws) + ox, 0, aw - 1)
@@ -167,12 +166,20 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         [flat_idx(x0, y0), flat_idx(x0 + 1, y0),
          flat_idx(x0, y0 + 1), flat_idx(x0 + 1, y0 + 1)]
     )                                                             # (4, k, R)
-    texel = flat[idx.reshape(-1)].reshape(idx.shape + (-1,))      # 1 gather
-    texel = texel.astype(jnp.float32) / 255.0
-    rgb = jnp.where(
-        srgb[None, ..., None] == 1, decode_srgb(texel[..., :3]), texel[..., :3]
-    )
-    texel = jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
+    if textures.atlas_linear is not None:
+        # Pre-decoded linear atlas (decode_atlas_linear): the gather IS the
+        # decode — no sRGB pow over the 4*k*R fetched texels.
+        flat = textures.atlas_linear
+        texel = flat[idx.reshape(-1)].reshape(idx.shape + (-1,))  # 1 gather
+        texel = texel.astype(jnp.float32)
+    else:
+        flat = textures.atlas.reshape(-1, textures.atlas.shape[-1])
+        texel = flat[idx.reshape(-1)].reshape(idx.shape + (-1,))  # 1 gather
+        texel = texel.astype(jnp.float32) / 255.0
+        rgb = jnp.where(
+            srgb[None, ..., None] == 1, decode_srgb(texel[..., :3]), texel[..., :3]
+        )
+        texel = jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
     c00, c10, c01, c11 = texel[0], texel[1], texel[2], texel[3]
     out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
     out = jnp.where(present[..., None], out, 1.0)

@@ -58,11 +58,32 @@ from gltf_renderer_tpu.ops.bvh import (
 
 PACKET_ROWS = 16         # rays per packet = PACKET_ROWS * 128 = 2048
 LANES = 128
-MAX_STACK = 128
-QCAP = 8                 # leaf queue slots per packet (flushes keep qn <= 5)
+MAX_STACK = 1024         # multi-pop explores ~POP paths concurrently: bound
+                         # ~ POP * 3 * depth entries; 4 KB SMEM is cheap
+QCAP = 16                # leaf queue slots (inner loop exit leaves <= FLUSH-1
+                         # + POP entries pending)
 FLUSH = 4                # leaves per flush batch
 PACKET = PACKET_ROWS * LANES
 NEG_BIG = -3.0e38  # python literal: a jnp constant would be captured as input
+
+
+def _default_pop():
+    import os
+
+    try:
+        return max(1, int(os.environ.get("GLTF_TPU_POP", "4")))
+    except ValueError:
+        return 4
+
+
+# Stack entries popped per descent iteration. The measured floor of the hot
+# loop is the ~485 ns/iteration while-loop overhead itself (not the vector
+# work) — docs/PERFORMANCE.md "Kernel facts". Popping POP entries per
+# iteration runs POP independent pop->load->test chains (they pipeline; the
+# chains are only coupled through the scalar stack), cutting the
+# iteration count ~POP-fold for union-bound incoherent packets at slightly
+# higher per-iteration vector cost.
+POP = _default_pop()
 
 
 def _traverse_kernel(
@@ -109,65 +130,75 @@ def _traverse_kernel(
                     t_min=t_min, t_cap=t_cap, lane_any=lane_any)
 
     def descent_step(sp, qn, sbase, qbase, pend, t_best, rays):
-        """Two-deep software-pipelined pop: the pushes applied here were
-        decided TWO iterations ago — their cross-lane reduce (the long pole
-        of the serial pop->load->test->reduce->push chain) gets a full
+        """Two-deep software-pipelined MULTI-pop: the pushes applied here
+        were decided TWO iterations ago — their cross-lane reduces (the long
+        pole of the serial pop->load->test->reduce->push chain) get a full
         iteration of slack, so the chain through the stack is only
-        push(scalar)->pop(scalar). The traversal order is then "almost-DFS"
-        (each pop lags its parent's expansion by one step), which costs a
-        slightly staler t_best but breaks the latency cycle.
+        push(scalar)->pop(scalar). Each iteration then pops up to POP
+        entries at once: the POP pop->load->test chains are independent
+        (scalar extracts ~4 ns, dynamic VMEM row loads free — measured), so
+        they pipeline, and the ~485 ns/iteration loop overhead is paid once
+        per POP nodes instead of per node. The traversal order is
+        "almost-DFS, POP paths at a time".
 
         Branch-free: leaves (and idle packets) box-test the dummy row, whose
         far-point boxes never hit, so their deferred pushes are zero."""
-        s01, s23, m0, m1, m2, m3 = pend
-        pushes = [
-            ((s01 & 16383) > 0).astype(jnp.int32),
-            ((s01 >> 14) > 0).astype(jnp.int32),
-            ((s23 & 16383) > 0).astype(jnp.int32),
-            ((s23 >> 14) > 0).astype(jnp.int32),
-        ]
-        # Push c=3..0 so child 0 (front by build order) pops first.
-        for c, m in ((3, m3), (2, m2), (1, m1), (0, m0)):
-            stack_ref[sbase + sp] = m
-            sp = sp + pushes[c]
+        # pend: POP groups of (s01, s23, m0, m1, m2, m3). Push group POP-1
+        # first so group 0 (the earliest pop, nearest by build order) ends on
+        # top; within a group push c=3..0 so child 0 pops first.
+        for g in range(len(pend) - 1, -1, -1):
+            s01, s23, m0, m1, m2, m3 = pend[g]
+            pushes = [
+                ((s01 & 16383) > 0).astype(jnp.int32),
+                ((s01 >> 14) > 0).astype(jnp.int32),
+                ((s23 & 16383) > 0).astype(jnp.int32),
+                ((s23 >> 14) > 0).astype(jnp.int32),
+            ]
+            for c, m in ((3, m3), (2, m2), (1, m1), (0, m0)):
+                stack_ref[sbase + sp] = m
+                sp = sp + pushes[c]
 
-        active = sp > 0
-        entry = stack_ref[sbase + jnp.maximum(sp - 1, 0)]
-        sp1 = jnp.maximum(sp - 1, 0)
-        e_is_leaf = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) != 0)
-        e_is_int = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) == 0)
-        node = jnp.where(e_is_int, entry & WIDE_ID_MASK, dummy_id)
-        nrow = nodes_ref[node, :]
-        mrow = meta_ref[node, :]
-        bits = []
-        for c in range(4):
-            lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
-            hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
-            tx0 = (lox - rays["ox"]) * rays["inv_x"]
-            tx1 = (hix - rays["ox"]) * rays["inv_x"]
-            ty0 = (loy - rays["oy"]) * rays["inv_y"]
-            ty1 = (hiy - rays["oy"]) * rays["inv_y"]
-            tz0 = (loz - rays["oz"]) * rays["inv_z"]
-            tz1 = (hiz - rays["oz"]) * rays["inv_z"]
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            box_hit = (tf >= jnp.maximum(tn, rays["t_min"])) & (tn <= t_best)
-            bits.append(box_hit.astype(jnp.int32))
-        # 2 cross-lane reductions instead of 4: lane counts (<= 4096) packed
-        # in 14-bit fields survive an integer sum exactly. Results are NOT
-        # consumed here — they are applied at the top of the next iteration.
-        n01 = jnp.sum(bits[0] + (bits[1] << 14))
-        n23 = jnp.sum(bits[2] + (bits[3] << 14))
-        # Leaf entries buffer into the SMEM queue (flushed in batches).
-        queue_ref[qbase + qn] = entry & WIDE_ID_MASK
-        qn = qn + e_is_leaf.astype(jnp.int32)
-        return sp1, qn, (n01, n23, mrow[0], mrow[1], mrow[2], mrow[3])
+        groups = []
+        for j in range(POP):
+            active = sp > j
+            entry = stack_ref[sbase + jnp.maximum(sp - 1 - j, 0)]
+            e_is_leaf = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) != 0)
+            e_is_int = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) == 0)
+            node = jnp.where(e_is_int, entry & WIDE_ID_MASK, dummy_id)
+            nrow = nodes_ref[node, :]
+            mrow = meta_ref[node, :]
+            bits = []
+            for c in range(4):
+                lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
+                hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
+                tx0 = (lox - rays["ox"]) * rays["inv_x"]
+                tx1 = (hix - rays["ox"]) * rays["inv_x"]
+                ty0 = (loy - rays["oy"]) * rays["inv_y"]
+                ty1 = (hiy - rays["oy"]) * rays["inv_y"]
+                tz0 = (loz - rays["oz"]) * rays["inv_z"]
+                tz1 = (hiz - rays["oz"]) * rays["inv_z"]
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                box_hit = (tf >= jnp.maximum(tn, rays["t_min"])) & (tn <= t_best)
+                bits.append(box_hit.astype(jnp.int32))
+            # 2 cross-lane reductions per group instead of 4: lane counts
+            # (<= 4096) packed in 14-bit fields survive an integer sum
+            # exactly. Results are NOT consumed here — they are applied at
+            # the top of the iteration after next.
+            n01 = jnp.sum(bits[0] + (bits[1] << 14))
+            n23 = jnp.sum(bits[2] + (bits[3] << 14))
+            # Leaf entries buffer into the SMEM queue (flushed in batches).
+            queue_ref[qbase + qn] = entry & WIDE_ID_MASK
+            qn = qn + e_is_leaf.astype(jnp.int32)
+            groups.append((n01, n23, mrow[0], mrow[1], mrow[2], mrow[3]))
+        sp = jnp.maximum(sp - POP, 0)
+        return sp, qn, tuple(groups)
 
     def leaf_flush(qn, best, qbase, rays):
         """Test FLUSH buffered leaves (clamped duplicate reads pad short
@@ -245,11 +276,13 @@ def _traverse_kernel(
         jnp.full(rays["t_cap"].shape, -1, jnp.int32),
     )
     # Seed the two-deep pipeline with a pending "push the root" (count 1 in
-    # field 0) one stage out and an empty stage behind it.
-    pend0 = (jnp.int32(1), jnp.int32(0), jnp.int32(root_meta),
-             jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    pend_none = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    # field 0 of group 0) one stage out and an empty stage behind it.
+    empty_group = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                   jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    root_group = (jnp.int32(1), jnp.int32(0), jnp.int32(root_meta),
+                  jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    pend0 = (root_group,) + (empty_group,) * (POP - 1)
+    pend_none = (empty_group,) * POP
 
     # Two-level loop: the HOT inner loop is pure descent with no lax.cond at
     # all (a big-branch cond in the hot loop taxes every iteration with the
@@ -258,10 +291,10 @@ def _traverse_kernel(
     # inner runs (~leaves/FLUSH times per packet, not once per pop).
     def live(state):
         sp, _qn, pend_a, pend_b, _best = state
-        return (
-            (sp > 0) | (pend_a[0] != 0) | (pend_a[1] != 0)
-            | (pend_b[0] != 0) | (pend_b[1] != 0)
-        )
+        pending = jnp.int32(0)
+        for g in pend_a + pend_b:
+            pending = pending | g[0] | g[1]
+        return (sp > 0) | (pending != 0)
 
     def inner_cond(state):
         return live(state) & (state[1] < FLUSH)

@@ -15,6 +15,38 @@ from gltf_renderer_tpu.scene.types import TextureTable, WRAP_CLAMP, WRAP_MIRROR,
 from gltf_renderer_tpu.utils.math import decode_srgb
 
 
+def decode_atlas_linear(tex: TextureTable) -> TextureTable:
+    """Pre-decode the u8 sRGB atlas to a flat (AH*AW, 4) f16 LINEAR atlas.
+
+    Host-side (numpy), once per scene: per-texture rects whose srgb flag is
+    set get their RGB channels decoded; alpha and linear textures are
+    straight u8/255. f16 keeps full u8-decode precision (10-bit mantissa vs
+    the 8-bit source) at half the gather bytes of f32.
+    """
+    import numpy as np
+
+    atlas = np.asarray(tex.atlas)
+    if atlas.size == 0:
+        return tex._replace(atlas_linear=np.zeros((0, 4), np.float16))
+    lin = atlas.astype(np.float32) / 255.0
+    xs = np.asarray(tex.x)
+    ys = np.asarray(tex.y)
+    ws = np.asarray(tex.width)
+    hs = np.asarray(tex.height)
+    srgb = np.asarray(tex.srgb)
+    a = 0.055
+
+    def dec(c):
+        return np.where(c <= 0.04045, c / 12.92, ((c + a) / (1 + a)) ** 2.4)
+
+    for i in np.nonzero(srgb == 1)[0]:
+        x, y, w, h = int(xs[i]), int(ys[i]), int(ws[i]), int(hs[i])
+        lin[y : y + h, x : x + w, :3] = dec(lin[y : y + h, x : x + w, :3])
+    return tex._replace(
+        atlas_linear=lin.reshape(-1, atlas.shape[-1]).astype(np.float16)
+    )
+
+
 def transform_uv(uv, rotation, offset, scale):
     """KHR_texture_transform (Material.hlsli TransformUv:68-88):
     uv' = translate(offset) * rot(rotation) * scale applied to (u, v, 1)."""

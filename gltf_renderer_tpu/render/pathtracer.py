@@ -295,6 +295,14 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         has_transmission=has_transmission,
         has_alpha_layer=has_masked or has_blend_mode,
     )
+    # Pre-decode the atlas to linear f16 (decode-at-load, the reference's
+    # hardware sRGB views — Gltf.cpp:1048-1078): the per-hit sRGB pow over
+    # every fetched texel disappears from the shading path.
+    if textures.atlas_linear is None and np.asarray(textures.atlas).size:
+        from gltf_renderer_tpu.ops.texture import decode_atlas_linear
+
+        textures = decode_atlas_linear(jax.tree.map(np.asarray, textures))
+    textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
     # texture metadata joined in: per-hit shading needs ONE material-row
     # gather + ONE atlas gather, no metadata gather.

@@ -192,6 +192,11 @@ class TextureTable(NamedTuple):
     srgb: Any       # (T,) int32 (decode to linear after fetch, before filter)
     rows: Any = None  # (T, 9) f32 — packed per-texture metadata row
     # [x, y, w, h, wrap_s, wrap_t, nearest, srgb, pad] (ints stored as f32)
+    atlas_linear: Any = None  # (AH*AW, 4) f16, PRE-DECODED to linear.
+    # Decode-at-load analogue of the reference's hardware sRGB views
+    # (Gltf.cpp:1048-1078): built once per scene (decode_atlas_linear), the
+    # hot path gathers linear texels directly — no per-hit sRGB pow over
+    # 4*k*R fetched texels (docs/PERFORMANCE.md round-3 queue item 2).
 
 
 class GeometryPools(NamedTuple):

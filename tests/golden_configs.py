@@ -116,7 +116,8 @@ def render_courtyard_pt(tmp):
     r = _renderer(path, 128, 72, "pathtracer",
                   pt_kw=dict(max_bounces=2, min_bounces=2, alpha_shadows=True),
                   env=True)
-    r.camera.world_to_view = look_at([6.0, -9.0, 3.0], [0.0, 0.0, 2.0])
+    # Same interior colonnade view as bench.py's courtyard config.
+    r.camera.world_to_view = look_at([-9.0, 0.0, 1.7], [1.0, 0.0, 1.6])
     return _pt_frames(r, 2)
 
 

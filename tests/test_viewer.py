@@ -62,3 +62,89 @@ def test_viewer_serves_frames_and_input(tmp_path):
     finally:
         state.running = False
         server.shutdown()
+
+
+def _post(base, payload):
+    req = urllib.request.Request(
+        base + "/input", data=json.dumps(payload).encode(), method="POST"
+    )
+    assert urllib.request.urlopen(req, timeout=5).read() == b"ok"
+
+
+def test_viewer_graphics_tab(tmp_path):
+    """Graphics-tab parity (Main.cpp:224-340): drive a debug-channel change
+    and a bounce change end-to-end over HTTP and observe them land in the
+    renderer settings + a fresh frame."""
+    from gltf_renderer_tpu.app import viewer
+
+    path = str(tmp_path / "box.gltf")
+    write_box_gltf(path)
+    server, state, thread = viewer.serve(
+        path, width=64, height=32, port=0, block=False
+    )
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(base + "/frame.png", timeout=5)
+                break
+            except Exception:
+                time.sleep(0.5)
+
+        st = json.loads(urllib.request.urlopen(base + "/state", timeout=5).read())
+        assert st["settings"]["debug_output"] == 0
+        assert st["settings"]["use_frame_as_seed"] is True
+
+        # Debug channel -> shading normal (S.DEBUG_SHADING_NORMAL == 11).
+        _post(base, {"type": "set", "field": "debug_output", "value": 11})
+        # Bounce change + RR + exposure + luminance clamp + seed pinning.
+        _post(base, {"type": "set", "field": "max_bounces", "value": 4})
+        _post(base, {"type": "set", "field": "min_russian_roulette_continue_prob",
+                     "value": 0.25})
+        _post(base, {"type": "set", "field": "exposure", "value": 2.0})
+        _post(base, {"type": "set", "field": "luminance_clamp", "value": 5.0})
+        _post(base, {"type": "set", "field": "use_frame_as_seed", "value": False})
+        _post(base, {"type": "set", "field": "tonemapper", "value": 0})
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            st = json.loads(urllib.request.urlopen(base + "/state", timeout=5).read())
+            s = st["settings"]
+            if (s["debug_output"] == 11 and s["max_bounces"] == 4
+                    and s["use_frame_as_seed"] is False):
+                break
+            time.sleep(0.2)
+        s = st["settings"]
+        assert s["debug_output"] == 11
+        assert s["max_bounces"] == 4
+        assert s["min_russian_roulette_continue_prob"] == 0.25
+        assert s["exposure"] == 2.0
+        assert s["luminance_clamp"] == 5.0
+        assert s["use_frame_as_seed"] is False
+        assert s["tonemapper"] == 0
+
+        # A frame rendered with the new settings arrives (debug channel 11 is
+        # a normals visualization -- a recognizably different image).
+        seq0 = state.frame_seq
+        deadline = time.time() + 90
+        while time.time() < deadline and state.frame_seq <= seq0 + 1:
+            time.sleep(0.2)
+        assert state.frame_seq > seq0
+        assert state.renderer.settings.pt.debug_output == 11
+
+        # min > max bounce clamps (reference slider coupling).
+        _post(base, {"type": "set", "field": "min_bounces", "value": 5})
+        deadline = time.time() + 30
+        while time.time() < deadline and state.renderer.settings.pt.min_bounces != 5:
+            time.sleep(0.2)
+        assert state.renderer.settings.pt.max_bounces == 5
+
+        # Page advertises the panel.
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"Graphics" in page and b"Debug Output" in page
+    finally:
+        state.running = False
+        server.shutdown()

@@ -1,0 +1,57 @@
+"""Regenerate the committed BASELINE-config goldens (tests/goldens/*.png).
+
+Run on the CPU backend (tests compare on CPU):
+
+    python tools/make_goldens.py [config ...]
+
+Only rerun this when an image CHANGE is intentional; the SSIM gate in
+tests/test_ssim_baseline.py exists to catch unintentional ones.
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from PIL import Image  # noqa: E402
+
+from tests.golden_configs import CONFIGS, GOLDEN_DIR  # noqa: E402
+
+
+def make_bench_fidelity():
+    """CPU golden for bench.py's cross-backend SSIM probe (float npy)."""
+    import numpy as np
+
+    import bench as bench_mod
+
+    w, h = bench_mod.FIDELITY_RES
+    scene, meta, settings, params, c2w, _ = bench_mod.build_bench_scene(w, h)
+    probe = bench_mod.render_fidelity_probe(scene, meta, settings, params, c2w)
+    np.save(bench_mod.FIDELITY_GOLDEN, probe.astype(np.float16))
+    return probe.shape, bench_mod.FIDELITY_GOLDEN
+
+
+def main(argv):
+    names = argv or (list(CONFIGS) + ["bench_fidelity"])
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in names:
+        t0 = time.time()
+        if name == "bench_fidelity":
+            shape, out = make_bench_fidelity()
+            print(f"{name}: {shape} -> {out} ({time.time() - t0:.1f}s)")
+            continue
+        with tempfile.TemporaryDirectory() as tmp:
+            img = CONFIGS[name](tmp)
+        out = os.path.join(GOLDEN_DIR, f"{name}.png")
+        Image.fromarray(img).save(out)
+        print(f"{name}: {img.shape} -> {out} ({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
