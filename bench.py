@@ -51,10 +51,15 @@ def build_bench_scene(width, height, scene_kind=None):
 
     scene_kind = scene_kind or os.environ.get("BENCH_SCENE", "helmet")
     d = tempfile.mkdtemp(prefix="bench_scene_")
-    if scene_kind == "courtyard":
+    if scene_kind.startswith("courtyard"):
         from gltf_renderer_tpu.scene.procedural import write_courtyard_glb
 
-        path = write_courtyard_glb(os.path.join(d, "courtyard.glb"))
+        # "courtyard" ~274k tris; "courtyard2" ~1.1M tris (the 1M-triangle
+        # soak — the reference's BLAS vertex cap scale, Config.h:25; exceeds
+        # the Pallas VMEM budget so it exercises the XLA fallback path).
+        density = 2 if scene_kind == "courtyard2" else 1
+        path = write_courtyard_glb(os.path.join(d, "courtyard.glb"),
+                                   density=density)
     else:
         path = write_textured_sphere_glb(
             os.path.join(d, "helmet_class.glb"), tex_size=512, n_lat=128, n_lon=192,
@@ -107,11 +112,11 @@ def build_bench_scene(width, height, scene_kind=None):
 
     settings = S.PathTracerSettings(
         max_bounces=2, min_bounces=2,
-        alpha_shadows=(scene_kind == "courtyard"),
+        alpha_shadows=scene_kind.startswith("courtyard"),
     )
     params = S.PathTracerParams()
     cam = Camera(y_fov=np.pi / 3, aspect_ratio=width / height, z_near=0.01)
-    if scene_kind == "courtyard":
+    if scene_kind.startswith("courtyard"):
         # Interior colonnade view (the scene ships the same camera at node 1).
         cam.world_to_view = look_at([-9.0, 0.0, 1.7], [1.0, 0.0, 1.6])
     else:

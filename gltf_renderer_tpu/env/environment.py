@@ -116,17 +116,60 @@ def sample_cube_level(faces, direction):
 
 
 def sample_cube(mips: List[Any], direction, level):
-    """Trilinear across a mip list; `level` may be fractional (R,)."""
+    """Trilinear across a mip list; `level` may be fractional (R,).
+
+    ONE fused gather over the flattened mip pyramid: the 8 contributing
+    texels (4 bilinear corners x 2 levels) gather together from a
+    concatenated flat pyramid with static per-level offsets — the per-level
+    loop this replaces paid one full gather PER MIP and kept two
+    (docs/PERFORMANCE.md: per-gather fixed cost dominates)."""
     n = len(mips)
+    if n == 1:
+        return sample_cube_level(mips[0], direction)
     level = jnp.clip(level, 0.0, n - 1)
     l0 = jnp.floor(level).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
     frac = (level - l0.astype(jnp.float32))[..., None]
-    out0 = jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
-    out1 = jnp.zeros_like(out0)
-    for i in range(n):
-        c = sample_cube_level(mips[i], direction)
-        out0 = jnp.where((l0 == i)[..., None], c, out0)
-        out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == i)[..., None], c, out1)
+
+    sizes_py = [m.shape[1] for m in mips]
+    offs_py = list(np.cumsum([0] + [6 * s * s for s in sizes_py[:-1]]))
+    flat = jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips])
+    sizes = jnp.asarray(sizes_py, jnp.int32)
+    offs = jnp.asarray(offs_py, jnp.int32)
+
+    face, uv = direction_to_cubemap(direction)
+
+    def corner_ids(li):
+        s = sizes[li]
+        off = offs[li]
+        sf = s.astype(jnp.float32)
+        fx = uv[..., 0] * sf - 0.5
+        fy = uv[..., 1] * sf - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        base = off + face * (s * s)
+
+        def fi(xi, yi):
+            return base + jnp.clip(yi, 0, s - 1) * s + jnp.clip(xi, 0, s - 1)
+
+        ids = jnp.stack([fi(x0, y0), fi(x0 + 1, y0), fi(x0, y0 + 1),
+                         fi(x0 + 1, y0 + 1)])
+        return ids, tx, ty
+
+    ids0, tx0, ty0 = corner_ids(l0)
+    ids1, tx1, ty1 = corner_ids(l1)
+    ids = jnp.concatenate([ids0, ids1])                 # (8, R)
+    c = flat[ids.reshape(-1)].reshape(ids.shape + (flat.shape[-1],))
+
+    def lerp(cs, tx, ty):
+        return (cs[0] * (1 - tx) + cs[1] * tx) * (1 - ty) + (
+            cs[2] * (1 - tx) + cs[3] * tx
+        ) * ty
+
+    out0 = lerp(c[0:4], tx0, ty0)
+    out1 = lerp(c[4:8], tx1, ty1)
     return out0 * (1 - frac) + out1 * frac
 
 

@@ -898,6 +898,40 @@ def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
     ), 0
 
 
+def conservative_bf16_boxes(wide_nodes_f32: np.ndarray) -> np.ndarray:
+    """(N4, 24) f32 wide box rows -> bf16 with OUTWARD rounding.
+
+    Box mins round DOWN, maxes round UP (one-ulp nudge when
+    round-to-nearest moved the bound inward), so every f32 box is contained
+    in its bf16 box — traversal in bf16 can only over-visit, never miss.
+    Columns: 4 children x [lo.xyz, hi.xyz].
+    """
+    import ml_dtypes
+
+    x = np.asarray(wide_nodes_f32, np.float32).reshape(-1, 4, 6)
+    bf = x.astype(ml_dtypes.bfloat16)
+    back = bf.astype(np.float32)
+    bits = bf.view(np.uint16)
+    # Nudge one ulp outward where rounding moved the bound inward. For
+    # bf16, +/-1 on the raw bits steps one ulp away from zero for positive
+    # values and toward zero for negative-magnitude decrease; handle signs.
+    lo = bits[:, :, 0:3]
+    hi = bits[:, :, 3:6]
+    lo_in = back[:, :, 0:3] > x[:, :, 0:3]   # rounded UP: must push down
+    hi_in = back[:, :, 3:6] < x[:, :, 3:6]   # rounded DOWN: must push up
+    neg_lo = back[:, :, 0:3] < 0
+    neg_hi = back[:, :, 3:6] < 0
+    # down: positive -> bits-1; negative -> bits+1 (more negative)
+    lo2 = np.where(lo_in, np.where(neg_lo, lo + 1, lo - 1), lo).astype(np.uint16)
+    hi2 = np.where(hi_in, np.where(neg_hi, hi - 1, hi + 1), hi).astype(np.uint16)
+    # Zero-crossing edge: a bound rounding to exactly 0.0 with inward move —
+    # stepping bits on +-0 would wrap; just widen those to +-smallest normal.
+    lo2 = np.where(lo_in & (lo == 0), np.uint16(0x8080), lo2)  # -2^-126-ish
+    hi2 = np.where(hi_in & (hi == 0x8000), np.uint16(0x0080), hi2)
+    out = np.concatenate([lo2, hi2], axis=2).view(ml_dtypes.bfloat16)
+    return out.reshape(-1, 24)
+
+
 # Empty-child sentinel: a far-away point box. A NaN box is NOT safe — Mosaic's
 # hardware min/max does not propagate NaN the way XLA does, so NaN bounds can
 # "hit" on TPU (observed: pushed garbage meta and hung the device). A point at

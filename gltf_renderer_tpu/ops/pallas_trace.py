@@ -71,18 +71,18 @@ def _default_pop():
     import os
 
     try:
-        return max(1, int(os.environ.get("GLTF_TPU_POP", "4")))
+        return max(1, int(os.environ.get("GLTF_TPU_POP", "1")))
     except ValueError:
-        return 4
+        return 1
 
 
-# Stack entries popped per descent iteration. The measured floor of the hot
-# loop is the ~485 ns/iteration while-loop overhead itself (not the vector
-# work) — docs/PERFORMANCE.md "Kernel facts". Popping POP entries per
-# iteration runs POP independent pop->load->test chains (they pipeline; the
-# chains are only coupled through the scalar stack), cutting the
-# iteration count ~POP-fold for union-bound incoherent packets at slightly
-# higher per-iteration vector cost.
+# Stack entries popped per descent iteration. Multi-pop (POP>1) runs POP
+# independent pop->load->test chains per loop iteration — measured
+# END-TO-END NEUTRAL on a v5e (bench: POP=4 2.78 vs POP=1 2.86 Mrays/s
+# no-sort; identical in kernel isolation too): the saved loop iterations are
+# paid back in per-iteration vector work (4x box tests) and scalar pushes.
+# Kept as a knob for future hardware where the loop overhead dominates the
+# box-test vector cost; POP=1 also compiles ~4x faster.
 POP = _default_pop()
 
 
@@ -143,22 +143,33 @@ def _traverse_kernel(
 
         Branch-free: leaves (and idle packets) box-test the dummy row, whose
         far-point boxes never hit, so their deferred pushes are zero."""
-        # pend: POP groups of (s01, s23, m0, m1, m2, m3). Push group POP-1
+        # pend: POP groups of (s01, s23, m0, m1, m2, m3). All 4*POP push
+        # slots store IN PARALLEL: addresses come from a running prefix over
+        # the push bits (plain scalar adds, ~1 cycle each) and slots that do
+        # NOT push write the trash slot (index MAX_STACK) — so no store's
+        # address waits on another store completing. Push order: group POP-1
         # first so group 0 (the earliest pop, nearest by build order) ends on
-        # top; within a group push c=3..0 so child 0 pops first.
+        # top; within a group c=3..0 so child 0 pops first.
+        seq = []
         for g in range(len(pend) - 1, -1, -1):
             s01, s23, m0, m1, m2, m3 = pend[g]
-            pushes = [
+            bit = (
                 ((s01 & 16383) > 0).astype(jnp.int32),
                 ((s01 >> 14) > 0).astype(jnp.int32),
                 ((s23 & 16383) > 0).astype(jnp.int32),
                 ((s23 >> 14) > 0).astype(jnp.int32),
-            ]
+            )
             for c, m in ((3, m3), (2, m2), (1, m1), (0, m0)):
-                stack_ref[sbase + sp] = m
-                sp = sp + pushes[c]
+                seq.append((bit[c], m))
+        acc = jnp.int32(0)
+        for b, m in seq:
+            addr = jnp.where(b > 0, jnp.minimum(sp + acc, MAX_STACK), MAX_STACK)
+            stack_ref[sbase + addr] = m
+            acc = acc + b
+        sp = jnp.minimum(sp + acc, MAX_STACK)
 
         groups = []
+        qacc = jnp.int32(0)
         for j in range(POP):
             active = sp > j
             entry = stack_ref[sbase + jnp.maximum(sp - 1 - j, 0)]
@@ -193,10 +204,14 @@ def _traverse_kernel(
             # the top of the iteration after next.
             n01 = jnp.sum(bits[0] + (bits[1] << 14))
             n23 = jnp.sum(bits[2] + (bits[3] << 14))
-            # Leaf entries buffer into the SMEM queue (flushed in batches).
-            queue_ref[qbase + qn] = entry & WIDE_ID_MASK
-            qn = qn + e_is_leaf.astype(jnp.int32)
+            # Leaf entries buffer into the SMEM queue (flushed in batches);
+            # same parallel-store-with-trash-slot scheme as the stack pushes.
+            lf = e_is_leaf.astype(jnp.int32)
+            qaddr = jnp.where(lf > 0, jnp.minimum(qn + qacc, QCAP), QCAP)
+            queue_ref[qbase + qaddr] = entry & WIDE_ID_MASK
+            qacc = qacc + lf
             groups.append((n01, n23, mrow[0], mrow[1], mrow[2], mrow[3]))
+        qn = jnp.minimum(qn + qacc, QCAP)
         sp = jnp.maximum(sp - POP, 0)
         return sp, qn, tuple(groups)
 
@@ -418,8 +433,10 @@ def traverse_packets_wide(
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((MAX_STACK,), jnp.int32),
-            pltpu.SMEM((QCAP,), jnp.int32),
+            # +1: index MAX_STACK / QCAP is the trash slot for parallel
+            # stores whose push bit is 0 (see descent_step).
+            pltpu.SMEM((MAX_STACK + 1,), jnp.int32),
+            pltpu.SMEM((QCAP + 1,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -114,12 +114,18 @@ def _octant_positions(direction, t_min, t_max, spatial_slot=None, any_flag=None)
     """Packet-coherence ordering for incoherent (bounce/shadow) rays:
     positions pos[r] = sorted index of ray r.
 
-    Sort key (most-significant first): origin locality (the FULL BVH slot
-    index of the hit the ray starts from — slot order is spatially coherent
-    by the SAH build), then ray population (closest vs any-hit in merged
-    bounce+shadow dispatches — mixed packets union two unrelated traversal
-    footprints), then direction octant. Dead rays (t_min > t_max) sort last
-    so their packets terminate after one root test.
+    POPULATION-DEPENDENT keys (all measured, tools/bench_shadow.py):
+      * closest (bounce) lanes: origin locality major (the FULL BVH slot
+        index of the hit the ray starts from — slot order is spatially
+        coherent by the SAH build), direction octant minor.
+      * any-hit (shadow) lanes: direction octant ONLY. Env-NEE shadow rays
+        are long (t_max ~ scene-exit) and their alias-sampled directions are
+        spread over ~1 texel/ray, so a packet's footprint is set by its
+        direction cone, not its origins — octant-only measured 82 ms vs
+        130 ms for slot-major at 262k rays. Shadow lanes sort after every
+        closest lane (population bit), keeping packets population-pure.
+    Dead rays (t_min > t_max) sort last so their packets terminate after one
+    root test.
 
     One lax.sort_key_val on the composite integer key costs ~3 ms at chunk
     size — cheaper than even a single 16-bucket counting pass (measured),
@@ -131,10 +137,11 @@ def _octant_positions(direction, t_min, t_max, spatial_slot=None, any_flag=None)
     )
     dead = t_min > t_max
     key = octant
-    if any_flag is not None:
-        key = key + 8 * any_flag
     if spatial_slot is not None:
         key = key + 16 * jnp.clip(spatial_slot, 0, None)
+    if any_flag is not None:
+        # Shadow lanes: octant-major, AFTER all closest lanes.
+        key = jnp.where(any_flag > 0, jnp.int32(1 << 29) + octant, key)
     key = jnp.where(dead, jnp.int32(2**31 - 1), key)
     r = key.shape[0]
     iota = jnp.arange(r, dtype=jnp.int32)
@@ -142,11 +149,28 @@ def _octant_positions(direction, t_min, t_max, spatial_slot=None, any_flag=None)
     return jnp.zeros(r, jnp.int32).at[idx].set(iota)
 
 
+def _no_sort():
+    """Default ON: dispatch secondary rays in wavefront (tile) order.
+
+    Measured end-to-end @1080p helmet (BENCH history): no-sort 2.78 Mrays/s
+    vs 2.05 slot-sorted vs 1.84 octant-keyed — primary tile order already
+    gives origin coherence (bounce origins ARE the coherent primary hits),
+    and the ~11 ms sort machinery plus the locality it destroys between the
+    bounce/shadow halves cost more than the packet-union improvement buys.
+    GLTF_TPU_SORT=1 re-enables the population-dependent sorted dispatch.
+    """
+    import os
+
+    return os.environ.get("GLTF_TPU_SORT", "0") != "1"
+
+
 def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
                     cull_sign=0, any_hit=False, sort_rays=False, sort_spatial=None,
                     mode=None):
     from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
 
+    if sort_rays and _no_sort():
+        sort_rays = False  # A/B knob: dispatch in wavefront order
     t_max = jnp.broadcast_to(t_max, t_min.shape)
     if sort_rays:
         # Bounce/shadow directions are incoherent; the packet kernel prunes on
@@ -539,9 +563,11 @@ def trace_bounce_and_shadow(
     masked-alpha retraversal loop. Returns (bounce Hit, shadow transmission).
     """
     def shadow_only():
+        # Env shadow rays: direction-octant ordering only (no origin major —
+        # measured 82 vs 130 ms, see _octant_positions).
         return trace_shadow(
             scene, meta, o_s, d_s, tmax_s, alpha_shadow=False,
-            active=tmin_s <= tmax_s, sort_spatial=sort_spatial,
+            active=tmin_s <= tmax_s, sort_spatial=None,
         )
 
     if not trace_bounce:

@@ -197,19 +197,50 @@ def shade_forward(
             * _sample_cube_trilinear(diffuse_cube, sp.shading_normal, jnp.zeros_like(a))
         )
 
-        if transmission_mips is not None:
+        if transmission_mips is not None and meta.has_transmission:
+            # Fused trilinear over the flattened backdrop pyramid: one
+            # 8-row gather instead of one full-bilinear pass PER MIP.
             t_mips = len(transmission_mips)
             t_a = modulate_roughness(sp.roughness_squared[..., 1:2], sp.ior)[..., 0]
             t_mip = jnp.sqrt(t_a) * (t_mips - 1)
             l0 = jnp.clip(jnp.floor(t_mip).astype(jnp.int32), 0, t_mips - 1)
+            l1 = jnp.minimum(l0 + 1, t_mips - 1)
             frac = jnp.clip(t_mip - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
-            s0 = jnp.zeros(screen_uv.shape[:-1] + (3,), jnp.float32)
-            s1 = jnp.zeros_like(s0)
-            for i in range(t_mips):
-                c = _bilinear_2d(transmission_mips[i], screen_uv)
-                s0 = jnp.where((l0 == i)[..., None], c, s0)
-                s1 = jnp.where((jnp.minimum(l0 + 1, t_mips - 1) == i)[..., None], c, s1)
-            backdrop = s0 * (1 - frac) + s1 * frac
+            hs = [m.shape[0] for m in transmission_mips]
+            ws = [m.shape[1] for m in transmission_mips]
+            offs = list(np.cumsum([0] + [hh * ww for hh, ww in zip(hs, ws)][:-1]))
+            flat = jnp.concatenate([m.reshape(-1, 3) for m in transmission_mips])
+            hs_j = jnp.asarray(hs, jnp.int32)
+            ws_j = jnp.asarray(ws, jnp.int32)
+            offs_j = jnp.asarray(offs, jnp.int32)
+
+            def corner_ids(li):
+                hh = hs_j[li]
+                ww = ws_j[li]
+                off = offs_j[li]
+                fx = screen_uv[..., 0] * ww.astype(jnp.float32) - 0.5
+                fy = screen_uv[..., 1] * hh.astype(jnp.float32) - 0.5
+                x0 = jnp.floor(fx).astype(jnp.int32)
+                y0 = jnp.floor(fy).astype(jnp.int32)
+                tx = (fx - x0)[..., None]
+                ty = (fy - y0)[..., None]
+
+                def fi(xi, yi):
+                    return off + jnp.clip(yi, 0, hh - 1) * ww + jnp.clip(xi, 0, ww - 1)
+
+                return jnp.stack([fi(x0, y0), fi(x0 + 1, y0), fi(x0, y0 + 1),
+                                  fi(x0 + 1, y0 + 1)]), tx, ty
+
+            ids0, tx0, ty0 = corner_ids(l0)
+            ids1, tx1, ty1 = corner_ids(l1)
+            ids = jnp.concatenate([ids0, ids1])
+            c = flat[ids.reshape(-1)].reshape(ids.shape + (3,))
+
+            def lerp(cs, tx, ty):
+                return (cs[0] * (1 - tx) + cs[1] * tx) * (1 - ty) + (
+                    cs[2] * (1 - tx) + cs[3] * tx) * ty
+
+            backdrop = lerp(c[0:4], tx0, ty0) * (1 - frac) + lerp(c[4:8], tx1, ty1) * frac
             transmission_ibl = sp.albedo * backdrop
             diffuse_ibl = diffuse_ibl + sp.transmissive * (transmission_ibl - diffuse_ibl)
 
@@ -218,13 +249,18 @@ def shade_forward(
         metal_ibl = metal_dfg * ld
         ibl = dielectric_ibl + sp.metalness * (metal_ibl - dielectric_ibl)
 
-        # Clearcoat IBL (Forward.ps.hlsl:266-275).
-        cc_mip = jnp.clip(sp.clearcoat_roughness[..., 0] * (n_mips - 1), 0.0, n_mips - 1)
-        cc_l = reflect(-view, sp.clearcoat_normal)
-        cc_ld = env_intensity * _sample_cube_trilinear(ggx_mips, cc_l, cc_mip)
-        ibl = fresnel_coat(
-            1.5, sp.clearcoat, ibl, cc_ld, dot(sp.clearcoat_normal, view)
-        )
+        # Clearcoat IBL (Forward.ps.hlsl:266-275) — statically skipped when
+        # no material in the scene has a clearcoat (shader-permutation
+        # analogue; saves a full cube gather pass per pixel).
+        if meta.has_clearcoat:
+            cc_mip = jnp.clip(
+                sp.clearcoat_roughness[..., 0] * (n_mips - 1), 0.0, n_mips - 1
+            )
+            cc_l = reflect(-view, sp.clearcoat_normal)
+            cc_ld = env_intensity * _sample_cube_trilinear(ggx_mips, cc_l, cc_mip)
+            ibl = fresnel_coat(
+                1.5, sp.clearcoat, ibl, cc_ld, dot(sp.clearcoat_normal, view)
+            )
 
         lighting = lighting + ibl * extras.occlusion[..., None]
 
@@ -263,6 +299,66 @@ def motion_vectors(
     return jnp.where((hit.tri >= 0)[:, None], mv, 0.0)
 
 
+def _pixel_rays(cpx, cpy, resolution, clip_to_world):
+    w, h = resolution
+    zero_jitter = jnp.zeros(cpx.shape + (2,), jnp.float32)
+    origin, dir_raw = generate_camera_rays(cpx, cpy, (w, h), clip_to_world, zero_jitter)
+    ray_len = jnp.sqrt(jnp.maximum(jnp.sum(dir_raw**2, -1), 1e-20))
+    direction = dir_raw / ray_len[..., None]
+    screen_uv = jnp.stack(
+        [(cpx.astype(jnp.float32) + 0.5) / w, (cpy.astype(jnp.float32) + 0.5) / h], -1
+    )
+    return origin, direction, ray_len, screen_uv
+
+
+def _alpha_retry_raster(scene, meta, hit, origin, direction, t_max):
+    """Re-trace past alpha-REJECTED masked texels (the raster 'discard')."""
+    from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry, closest_hit
+
+    def cond(state):
+        retry, _h, it = state
+        return jnp.any(retry) & (it < 8)
+
+    def body(state):
+        retry, cur, it = state
+        tmin2 = jnp.where(retry, cur.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
+        nh = closest_hit(
+            scene, meta, origin, direction, tmin2, t_max,
+            blend_mode=bvh_ops.BLEND_EXCLUDE,
+        )
+        merged = bvh_ops.Hit(
+            t=jnp.where(retry, nh.t, cur.t),
+            tri=jnp.where(retry, nh.tri, cur.tri),
+            u=jnp.where(retry, nh.u, cur.u),
+            v=jnp.where(retry, nh.v, cur.v),
+        )
+        return _needs_alpha_retry(scene, meta, merged) & retry, merged, it + 1
+
+    retry0 = _needs_alpha_retry(scene, meta, hit)
+    _, hit, _ = jax.lax.while_loop(cond, body, (retry0, hit, 0))
+    return hit
+
+
+def _map_chunks(fn, arrays, n, chunk):
+    """lax.map `fn` over CHUNK-sized slices of flat (N, ...) arrays.
+
+    Bounds peak gather/working-set size exactly like the PT's chunking
+    (pathtracer.trace): one compiled chunk body, sequential execution.
+    Returns outputs concatenated back to N rows.
+    """
+    chunk = min(chunk, n)  # small frames: one unpadded chunk
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    outs = jax.lax.map(fn, tuple(prep(a) for a in arrays))
+    return tuple(o.reshape((n_chunks * chunk,) + o.shape[2:])[:n] for o in outs)
+
+
 def render(
     scene: PTScene,
     meta: PTMeta,
@@ -285,30 +381,28 @@ def render(
     true edge-function rasterization with near-plane clipping; pixels whose
     rasterized hit is an alpha-REJECTED masked texel are re-traced past it by
     the retry loop below, and blended layers use ray queries).
+
+    Pixels stream through RAY_CHUNK-sized TILE-ORDERED chunks reusing the
+    path tracer's fused gather/shading paths — the round-2 raster path was
+    one unchunked 2M-pixel dispatch predating those fusions
+    (docs/ROADMAP.md item 5); chunking + tile order cut a 1080p frame from
+    ~2.1 s to interactive.
     """
-    w, h = resolution
-    py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    px = px.reshape(-1)
-    py = py.reshape(-1)
-    n = px.shape[0]
-    zero_jitter = jnp.zeros((n, 2), jnp.float32)
-    origin, dir_raw = generate_camera_rays(px, py, (w, h), clip_to_world, zero_jitter)
-    ray_len = jnp.sqrt(jnp.maximum(jnp.sum(dir_raw**2, -1), 1e-20))
-    direction = dir_raw / ray_len[..., None]
-    t_max = ray_len
-    t_min = jnp.zeros(n, jnp.float32)
-    screen_uv = jnp.stack(
-        [(px.astype(jnp.float32) + 0.5) / w, (py.astype(jnp.float32) + 0.5) / h], -1
+    from gltf_renderer_tpu.render.pathtracer import (
+        RAY_CHUNK, _tile_order, closest_hit,
     )
+
+    w, h = resolution
+    px_t, py_t, inverse = _tile_order(w, h)
+    px = jnp.asarray(px_t)
+    py = jnp.asarray(py_t)
+    n = px.shape[0]
+    inverse = jnp.asarray(inverse)
 
     env_intensity = params.environment_intensity
     use_env = meta.has_env
 
-    # --- Opaque + alpha-test pass (alpha-mask rejection handled by shading
-    # with alpha in {0,1}: a rejected texel should "discard" — emulate by
-    # re-tracing past it like the PT any-hit).
-    from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry, closest_hit
-
+    tiled_hit = None
     if visibility == "tiled":
         from gltf_renderer_tpu.ops import pallas_raster as _pr
 
@@ -317,121 +411,118 @@ def render(
             scene.world.position, scene.world.tri_vertex, world_to_clip, w, h,
             double_sided=scene.world.tri_double_sided,
         )
-        # Exclude blended/transmissive triangles from the opaque buffer.
-        tri_flat = tri_b.reshape(-1)
-        u_flat = u_b.reshape(-1)
-        v_flat = v_b.reshape(-1)
+        # Exclude blended/transmissive triangles from the opaque buffer and
+        # reconstruct ray t so the blend pass can composite against depth.
+        flat = py_t.astype(np.int64) * w + px_t  # tile order <- image order
+        tri_flat = tri_b.reshape(-1)[flat]
+        u_flat = u_b.reshape(-1)[flat]
+        v_flat = v_b.reshape(-1)[flat]
         tri_c = jnp.clip(tri_flat, 0, None)
         is_blend = (
             (scene.world.tri_alpha_mode[tri_c] == T.ALPHA_MODE_BLEND)
             | (scene.materials.transmission_factor[scene.world.tri_material[tri_c]] > 0.0)
         )
         keep = (tri_flat >= 0) & (~is_blend)
-        tri_flat = jnp.where(keep, tri_flat, -1)
-        # Reconstruct ray t (world distance / |dir|) so the blend pass can
-        # composite against the opaque depth.
-        tv = scene.world.tri_vertex[jnp.clip(tri_flat, 0, None)]
-        p0 = scene.world.position[tv[:, 0]]
-        p1 = scene.world.position[tv[:, 1]]
-        p2 = scene.world.position[tv[:, 2]]
-        wpos = (
-            (1.0 - u_flat - v_flat)[:, None] * p0
-            + u_flat[:, None] * p1
-            + v_flat[:, None] * p2
-        )
-        dist = jnp.linalg.norm(wpos - origin, axis=-1)
-        hit = bvh_ops.Hit(
-            t=jnp.where(keep, dist, t_max),
-            tri=tri_flat,
-            u=u_flat,
-            v=v_flat,
-        )
-    else:
-        hit = closest_hit(
-            scene, meta, origin, direction, t_min, t_max, blend_mode=bvh_ops.BLEND_EXCLUDE,
-        )
-    if meta.has_masked:
-        def cond(state):
-            retry, _h, it = state
-            return jnp.any(retry) & (it < 8)
+        tiled_hit = (jnp.where(keep, tri_flat, -1), u_flat, v_flat)
 
-        def body(state):
-            retry, cur, it = state
-            tmin2 = jnp.where(retry, cur.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
-            nh = closest_hit(
-                scene, meta, origin, direction, tmin2, t_max,
+    # --- Opaque + alpha-test + background pass, chunked.
+    def opaque_chunk(args):
+        if tiled_hit is not None:
+            cpx, cpy, ctri, cu, cv = args
+        else:
+            cpx, cpy = args
+        origin, direction, t_max, screen_uv = _pixel_rays(
+            cpx, cpy, (w, h), clip_to_world
+        )
+        if tiled_hit is not None:
+            tv = scene.world.tri_vertex[jnp.clip(ctri, 0, None)]
+            p0 = scene.world.position[tv[:, 0]]
+            p1 = scene.world.position[tv[:, 1]]
+            p2 = scene.world.position[tv[:, 2]]
+            wpos = (1.0 - cu - cv)[:, None] * p0 + cu[:, None] * p1 + cv[:, None] * p2
+            dist = jnp.linalg.norm(wpos - origin, axis=-1)
+            hit = bvh_ops.Hit(
+                t=jnp.where(ctri >= 0, dist, t_max), tri=ctri, u=cu, v=cv
+            )
+        else:
+            hit = closest_hit(
+                scene, meta, origin, direction, jnp.zeros_like(t_max), t_max,
                 blend_mode=bvh_ops.BLEND_EXCLUDE,
             )
-            merged = bvh_ops.Hit(
-                t=jnp.where(retry, nh.t, cur.t),
-                tri=jnp.where(retry, nh.tri, cur.tri),
-                u=jnp.where(retry, nh.u, cur.u),
-                v=jnp.where(retry, nh.v, cur.v),
-            )
-            return _needs_alpha_retry(scene, meta, merged) & retry, merged, it + 1
+        if meta.has_masked:
+            hit = _alpha_retry_raster(scene, meta, hit, origin, direction, t_max)
 
-        retry0 = _needs_alpha_retry(scene, meta, hit)
-        _, hit, _ = jax.lax.while_loop(cond, body, (retry0, hit, 0))
-
-    valid = hit.tri >= 0
-    rgb, _alpha, _cut, _mode = shade_forward(
-        scene, meta, hit, origin, direction, camera_pos, env_intensity, screen_uv,
-        transmission_mips=None, use_env=use_env, use_lights=True,
-    )
-
-    # Background (Background.ps.hlsl: env cube at ray direction).
-    if use_env:
-        from gltf_renderer_tpu.env.environment import env_radiance
-
-        bg = env_intensity * env_radiance(scene.env, normalize(direction))
-    else:
-        bg = params.environment_intensity * jnp.broadcast_to(
-            jnp.asarray(params.environment_color, jnp.float32), rgb.shape
+        valid = hit.tri >= 0
+        rgb, _alpha, _cut, _mode = shade_forward(
+            scene, meta, hit, origin, direction, camera_pos, env_intensity,
+            screen_uv, transmission_mips=None, use_env=use_env, use_lights=True,
         )
-    lit = jnp.where(valid[..., None], rgb, bg).reshape(h, w, 3)
-    opaque_t = jnp.where(valid, hit.t, jnp.inf)
+        # Background (Background.ps.hlsl: env cube at ray direction).
+        if use_env:
+            from gltf_renderer_tpu.env.environment import env_radiance
 
-    # --- Transmission backdrop mips + blended/transmissive layers.
+            bg = env_intensity * env_radiance(scene.env, normalize(direction))
+        else:
+            bg = params.environment_intensity * jnp.broadcast_to(
+                jnp.asarray(params.environment_color, jnp.float32), rgb.shape
+            )
+        lit = jnp.where(valid[..., None], rgb, bg)
+        return lit, jnp.where(valid, hit.t, jnp.inf), hit.tri, hit.u, hit.v
+
+    arrays = (px, py) + (tiled_hit if tiled_hit is not None else ())
+    lit_f, opaque_t, tri_f, u_f, v_f = _map_chunks(opaque_chunk, arrays, n, RAY_CHUNK)
+    lit = lit_f[inverse].reshape(h, w, 3)
+
+    # --- Transmission backdrop mips + blended/transmissive layers, chunked.
     if meta.has_blend:
         trans_mips = build_transmission_mips(lit)
-        # Collect up to MAX_BLEND_LAYERS blend hits front-to-back, then
-        # composite back-to-front (Rasterizer sorts draws; we sort exactly
-        # per pixel along the ray).
-        layer_rgb = []
-        layer_a = []
-        layer_valid = []
-        cur_tmin = t_min
-        for _ in range(MAX_BLEND_LAYERS):
-            bh = closest_hit(
-                scene, meta, origin, direction, cur_tmin, jnp.minimum(opaque_t, t_max),
-                blend_mode=bvh_ops.BLEND_ONLY,
+
+        def blend_chunk(args):
+            cpx, cpy, c_opaque_t, c_lit = args
+            origin, direction, t_max, screen_uv = _pixel_rays(
+                cpx, cpy, (w, h), clip_to_world
             )
-            ok = bh.tri >= 0
-            srgb, sa, scut, smode = shade_forward(
-                scene, meta, bh, origin, direction, camera_pos, env_intensity,
-                screen_uv, transmission_mips=trans_mips, use_env=use_env,
-                use_lights=True,
-            )
-            # BLEND uses base alpha; transmissive OPAQUE surfaces composite
-            # with alpha 1 (their color already includes the backdrop).
-            a_eff = jnp.where(smode == T.ALPHA_MODE_BLEND, sa, 1.0)
-            layer_rgb.append(srgb)
-            layer_a.append(jnp.where(ok, a_eff, 0.0))
-            layer_valid.append(ok)
-            cur_tmin = jnp.where(ok, bh.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
-        # Composite back-to-front over the opaque result.
-        out = lit.reshape(-1, 3)
-        for i in range(MAX_BLEND_LAYERS - 1, -1, -1):
-            a = layer_a[i][..., None]
-            out = out + a * (layer_rgb[i] - out)
-        lit = out.reshape(h, w, 3)
+            # Collect up to MAX_BLEND_LAYERS blend hits front-to-back, then
+            # composite back-to-front (Rasterizer sorts draws; we sort
+            # exactly per pixel along the ray).
+            layer_rgb = []
+            layer_a = []
+            cur_tmin = jnp.zeros_like(t_max)
+            for _ in range(MAX_BLEND_LAYERS):
+                bh = closest_hit(
+                    scene, meta, origin, direction, cur_tmin,
+                    jnp.minimum(c_opaque_t, t_max), blend_mode=bvh_ops.BLEND_ONLY,
+                )
+                ok = bh.tri >= 0
+                srgb, sa, scut, smode = shade_forward(
+                    scene, meta, bh, origin, direction, camera_pos, env_intensity,
+                    screen_uv, transmission_mips=trans_mips, use_env=use_env,
+                    use_lights=True,
+                )
+                # BLEND uses base alpha; transmissive OPAQUE surfaces
+                # composite with alpha 1 (color already has the backdrop).
+                a_eff = jnp.where(smode == T.ALPHA_MODE_BLEND, sa, 1.0)
+                layer_rgb.append(srgb)
+                layer_a.append(jnp.where(ok, a_eff, 0.0))
+                cur_tmin = jnp.where(ok, bh.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
+            out = c_lit
+            for i in range(MAX_BLEND_LAYERS - 1, -1, -1):
+                a = layer_a[i][..., None]
+                out = out + a * (layer_rgb[i] - out)
+            return (out,)
+
+        (lit_f2,) = _map_chunks(
+            blend_chunk, (px, py, opaque_t, lit_f), n, RAY_CHUNK
+        )
+        lit = lit_f2[inverse].reshape(h, w, 3)
 
     if with_motion:
         prev_c2w = prev_world_to_clip
         if prev_c2w is None:
             prev_c2w = jnp.linalg.inv(clip_to_world)
+        hit_full = bvh_ops.Hit(t=opaque_t, tri=tri_f, u=u_f, v=v_f)
         mv = motion_vectors(
-            scene.world, hit, px, py, prev_c2w, prev_position, (w, h)
-        ).reshape(h, w, 2)
+            scene.world, hit_full, px, py, prev_c2w, prev_position, (w, h)
+        )[inverse].reshape(h, w, 2)
         return lit, mv
     return lit

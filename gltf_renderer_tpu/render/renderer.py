@@ -47,6 +47,18 @@ def _pt_step(ptscene, meta, settings, params, c2w, resolution, seed, accum, fram
     return new_accum
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 6))
+def _raster_step(ptscene, meta, settings, params, c2w, cam_pos, resolution, frame):
+    # The whole DrawScene runs as ONE jitted graph (Rasterizer.cpp:150-288);
+    # eager per-op dispatch through the TPU tunnel costs ms per op.
+    from gltf_renderer_tpu.render import rasterizer
+
+    with jax.named_scope("draw_scene"):
+        return rasterizer.render(
+            ptscene, meta, settings, params, c2w, cam_pos, resolution, frame
+        )
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _post_step(hdr, tm_settings: S.ToneMapSettings, bloom_settings, frame):
     img = hdr
@@ -330,9 +342,7 @@ class Renderer:
             hdr = self._accum
             bloom_settings = None  # bloom is raster-only (Rasterizer.cpp:281)
         else:
-            from gltf_renderer_tpu.render import rasterizer
-
-            hdr = _timed("draw_scene", rasterizer.render,
+            hdr = _timed("draw_scene", _raster_step,
                 self._ptscene, self._meta, st, self.params, c2w,
                 jnp.asarray(self.camera.position()), resolution,
                 jnp.uint32(self.frame_index),

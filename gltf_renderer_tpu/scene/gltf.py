@@ -797,6 +797,15 @@ def _load_animations(doc: dict, reader: _Reader) -> List[T.Animation]:
             smp = an["samplers"][ch["sampler"]]
             times = reader.accessor(smp["input"]).reshape(-1).astype(np.float32)
             values = reader.accessor(smp["output"]).astype(np.float32)
+            if target["path"] == "weights" and len(times):
+                # Weights outputs are FLAT scalars: n_keys * n_targets
+                # (x3 for CUBICSPLINE tangents) — reshape to one row per
+                # (key[, tangent]) so multi-target morphs sample correctly
+                # (Animation.cpp passes the element count; Gltf.cpp:747).
+                factor = 3 if smp.get("interpolation") == "CUBICSPLINE" else 1
+                rows = len(times) * factor
+                per = max(values.size // rows, 1)
+                values = values.reshape(rows, per)
             channels.append(
                 T.AnimationChannel(
                     node=target["node"],

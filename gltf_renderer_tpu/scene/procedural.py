@@ -241,8 +241,11 @@ def write_textured_sphere_glb(path, tex_size=64, n_lat=16, n_lon=32,
     return path
 
 
-def write_skinned_gltf(path):
-    """Two-bone skinned quad strip + rotation animation (BrainStem-style)."""
+def write_skinned_gltf(path, strips: int = 1):
+    """Two-bone skinned quad strip + rotation animation (BrainStem-style).
+
+    strips > 1 instantiates that many independently-skinned strips (one SKIN
+    each, x-offset) — exercises multi-skin scenes (dryrun_multichip)."""
     doc = {"asset": {"version": "2.0"}, "scene": 0}
     bin_parts = []
     # Vertical strip of quads along +Y in glTF space, skinned to 2 joints.
@@ -283,22 +286,228 @@ def write_skinned_gltf(path):
     it = _acc(doc, bin_parts, times)
     ir = _acc(doc, bin_parts, rots)
 
-    doc["meshes"] = [
-        {"primitives": [{"attributes": {"POSITION": ip, "NORMAL": inn, "JOINTS_0": ij, "WEIGHTS_0": iw}, "indices": ii}]}
-    ]
-    doc["skins"] = [{"joints": [1, 2], "inverseBindMatrices": i_ibm}]
-    doc["nodes"] = [
-        {"mesh": 0, "skin": 0},
-        {"children": [2], "name": "root_joint"},
-        {"translation": [0, 1, 0], "name": "tip_joint"},
-    ]
+    mesh_def = {
+        "primitives": [{"attributes": {"POSITION": ip, "NORMAL": inn, "JOINTS_0": ij, "WEIGHTS_0": iw}, "indices": ii}]
+    }
+    # One mesh PER strip (accessors shared): each strip's primitive gets its
+    # own pool range, so per-skin deformation stays independent.
+    doc["meshes"] = [dict(mesh_def) for _ in range(strips)]
+    doc["skins"] = []
+    doc["nodes"] = []
+    channels = []
+    scene_nodes = []
+    for s in range(strips):
+        base = len(doc["nodes"])
+        xoff = 0.6 * s
+        doc["skins"].append(
+            {"joints": [base + 1, base + 2], "inverseBindMatrices": i_ibm}
+        )
+        doc["nodes"] += [
+            {"mesh": s, "skin": s, "translation": [xoff, 0.0, 0.0],
+             "name": f"strip{s}"},
+            {"children": [base + 2], "translation": [xoff, 0.0, 0.0],
+             "name": f"root_joint{s}"},
+            {"translation": [0, 1, 0], "name": f"tip_joint{s}"},
+        ]
+        channels.append(
+            {"sampler": 0, "target": {"node": base + 2, "path": "rotation"}}
+        )
+        scene_nodes += [base, base + 1]
     doc["animations"] = [
         {
             "samplers": [{"input": it, "output": ir, "interpolation": "LINEAR"}],
-            "channels": [{"sampler": 0, "target": {"node": 2, "path": "rotation"}}],
+            "channels": channels,
         }
     ]
-    doc["scenes"] = [{"nodes": [0, 1]}]
+    doc["scenes"] = [{"nodes": scene_nodes}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_box_official_layout_gltf(path):
+    """Structural reconstruction of glTF-Sample-Assets Box.gltf.
+
+    The official sample assets are not fetchable in this offline
+    environment (zero egress), so this reproduces the official file's exact
+    STRUCTURE for loader coverage the tightly-packed generators miss:
+    one INTERLEAVED bufferView (NORMAL at byteOffset 0, POSITION at 12,
+    byteStride 24 — Box.gltf's layout), a root node carrying a `matrix`
+    (the official Box root holds a rotation matrix), a child mesh node,
+    and the official material constants ("Red": baseColorFactor
+    [0.8, 0, 0, 1], metallic 0). Exercises TinyGltfTools.h:284-299-style
+    strided iteration and Gltf.cpp:658-668 matrix nodes.
+    """
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    p, n, _uv, idx = box_mesh()
+    # Interleave [normal, position] per vertex, stride 24.
+    inter = np.empty((len(p), 6), np.float32)
+    inter[:, 0:3] = n
+    inter[:, 3:6] = p
+    blob_i = inter.tobytes()
+    idx16 = np.asarray(idx, np.uint16)
+    pad = (-len(blob_i)) % 4
+    blob = blob_i + b"\x00" * pad + idx16.tobytes()
+    doc["bufferViews"] = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": len(blob_i),
+         "byteStride": 24, "target": 34962},
+        {"buffer": 0, "byteOffset": len(blob_i) + pad,
+         "byteLength": idx16.nbytes, "target": 34963},
+    ]
+    doc["accessors"] = [
+        {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+         "count": len(p), "type": "VEC3"},
+        {"bufferView": 0, "byteOffset": 12, "componentType": 5126,
+         "count": len(p), "type": "VEC3",
+         "min": p.min(0).tolist(), "max": p.max(0).tolist()},
+        {"bufferView": 1, "byteOffset": 0, "componentType": 5123,
+         "count": len(idx16), "type": "SCALAR"},
+    ]
+    doc["materials"] = [
+        {"name": "Red",
+         "pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.0, 0.0, 1.0],
+                                  "metallicFactor": 0.0}}
+    ]
+    doc["meshes"] = [
+        {"name": "Mesh",
+         "primitives": [{"attributes": {"NORMAL": 0, "POSITION": 1},
+                         "indices": 2, "material": 0, "mode": 4}]}
+    ]
+    # Official Box: root node carries a basis-flip matrix, child holds the mesh.
+    doc["nodes"] = [
+        {"children": [1],
+         "matrix": [1, 0, 0, 0, 0, 0, -1, 0, 0, 1, 0, 0, 0, 0, 0, 1]},
+        {"mesh": 0},
+    ]
+    doc["scenes"] = [{"nodes": [0]}]
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_morph_cube_official_layout_gltf(path):
+    """Structural reconstruction of glTF-Sample-Assets AnimatedMorphCube.
+
+    Official layout facts reproduced: TWO morph targets ("Angle"/"Thin"
+    POSITION deltas), per-target NORMAL deltas, a weights animation driving
+    both channels, and a mesh node with a rotation quaternion. (Binary
+    payload is synthetic — official assets unavailable offline; see
+    docs/PARITY.md.)"""
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    p, n, _uv, idx = box_mesh()
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    ii = _acc(doc, bin_parts, np.asarray(idx, np.uint16), target=34963)
+    # Target 0 "Angle": shear; target 1 "Thin": squash in x.
+    d0 = np.zeros_like(p)
+    d0[:, 0] = 0.4 * p[:, 1]
+    dn0 = np.zeros_like(n)
+    d1 = np.zeros_like(p)
+    d1[:, 0] = -0.35 * p[:, 0]
+    dn1 = np.zeros_like(n)
+    i_d0 = _acc(doc, bin_parts, d0, target=34962)
+    i_dn0 = _acc(doc, bin_parts, dn0, target=34962)
+    i_d1 = _acc(doc, bin_parts, d1, target=34962)
+    i_dn1 = _acc(doc, bin_parts, dn1, target=34962)
+    times = np.linspace(0.0, 4.0, 9).astype(np.float32)
+    w0 = np.abs(np.sin(times * np.pi / 4.0)).astype(np.float32)
+    w1 = np.abs(np.cos(times * np.pi / 4.0)).astype(np.float32)
+    weights = np.stack([w0, w1], -1).reshape(-1)
+    it = _acc(doc, bin_parts, times)
+    iw = _acc(doc, bin_parts, weights)
+    doc["meshes"] = [
+        {"name": "Cube",
+         "primitives": [{
+             "attributes": {"POSITION": ip, "NORMAL": inn},
+             "indices": ii,
+             "targets": [
+                 {"POSITION": i_d0, "NORMAL": i_dn0},
+                 {"POSITION": i_d1, "NORMAL": i_dn1},
+             ],
+         }],
+         "weights": [0.0, 0.0],
+         "extras": {"targetNames": ["Angle", "Thin"]}}
+    ]
+    doc["nodes"] = [
+        {"mesh": 0, "rotation": [0.0, 0.0, 0.0, 1.0], "name": "AnimatedMorphCube"}
+    ]
+    doc["animations"] = [
+        {"name": "Square",
+         "samplers": [{"input": it, "output": iw, "interpolation": "LINEAR"}],
+         "channels": [{"sampler": 0, "target": {"node": 0, "path": "weights"}}]}
+    ]
+    doc["scenes"] = [{"nodes": [0]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def write_multiuv_gltf(path, tex_size=32):
+    """Multi-UV coverage: baseColor on TEXCOORD_0, occlusion on TEXCOORD_1
+    (the common official-asset pattern the single-UV generators miss),
+    plus a u16-NORMALIZED COLOR_0 accessor (Mesh.h vertex-color format)."""
+    import io
+    from PIL import Image
+
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    p, n, uv, idx = box_mesh()
+    uv1 = np.clip(uv * 0.5 + 0.25, 0.0, 1.0).astype(np.float32)
+    col = np.full((len(p), 4), 65535, np.uint16)
+    col[:, 1] = np.linspace(0, 65535, len(p)).astype(np.uint16)
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    iuv0 = _acc(doc, bin_parts, uv, target=34962)
+    iuv1 = _acc(doc, bin_parts, uv1, target=34962)
+    icol = _acc(doc, bin_parts, col, target=34962, normalized=True)
+    ii = _acc(doc, bin_parts, np.asarray(idx, np.uint16), target=34963)
+
+    yy, xx = np.meshgrid(np.arange(tex_size), np.arange(tex_size), indexing="ij")
+    base = np.stack([200 + 0 * xx, 120 + ((xx // 4) % 2) * 80, 60 + 0 * xx,
+                     np.full_like(xx, 255)], -1).astype(np.uint8)
+    occ = np.stack([(255 * (0.5 + 0.5 * yy / tex_size)).astype(np.uint8)] * 3
+                   + [np.full_like(xx, 255).astype(np.uint8)], -1).astype(np.uint8)
+
+    def png(img):
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGBA").save(buf, format="PNG")
+        return buf.getvalue()
+
+    doc["images"] = []
+    doc["textures"] = []
+    for img in (png(base), png(occ)):
+        off = sum(len(b) for b in bin_parts)
+        padb = (-off) % 4
+        if padb:
+            bin_parts.append(b"\x00" * padb)
+            off += padb
+        bin_parts.append(img)
+        doc["bufferViews"].append(
+            {"buffer": 0, "byteOffset": off, "byteLength": len(img)})
+        doc["images"].append(
+            {"bufferView": len(doc["bufferViews"]) - 1, "mimeType": "image/png"})
+        doc["textures"].append({"source": len(doc["images"]) - 1})
+    doc["materials"] = [{
+        "pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0, "texCoord": 0},
+            "roughnessFactor": 0.9,
+        },
+        "occlusionTexture": {"index": 1, "texCoord": 1},
+    }]
+    doc["meshes"] = [
+        {"primitives": [{
+            "attributes": {"POSITION": ip, "NORMAL": inn, "TEXCOORD_0": iuv0,
+                           "TEXCOORD_1": iuv1, "COLOR_0": icol},
+            "indices": ii, "material": 0}]}
+    ]
+    doc["nodes"] = [{"mesh": 0}]
+    doc["scenes"] = [{"nodes": [0]}]
     blob = b"".join(bin_parts)
     doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
     with open(path, "w") as f:

@@ -19,6 +19,32 @@ import numpy as np
 import pytest
 from PIL import Image
 
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Persistent compilation cache OFF for this module.
+
+    Serializing/deserializing this module's large rasterizer executables
+    inside a long-lived pytest process segfaults in jax's cache layer
+    (reproduced 5/5 at the same tests — in put_executable_and_time with
+    writes on, then in get_executable_and_time with writes suppressed; the
+    same tests pass standalone). The XLA:CPU AOT path also warns about
+    compile-vs-host machine-feature mismatches here. Skipping the cache for
+    these few big graphs is deterministic and only costs their recompiles.
+    """
+    import jax
+    from jax._src import compilation_cache as cc
+
+    # NOTE: flipping jax_compilation_cache_dir or the enable flag alone is
+    # NOT enough — is_cache_used() memoizes per process; reset_cache()
+    # clears that memo so the flag is actually honored.
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
+    cc.reset_cache()
+
 from gltf_renderer_tpu.utils.ssim import ssim
 from tests.golden_configs import CONFIGS, GOLDEN_DIR
 
