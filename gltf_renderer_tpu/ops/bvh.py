@@ -829,37 +829,44 @@ class WideMaps(NamedTuple):
     # only leaf rows (half the VMEM of node-indexed tables)
 
 
-def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
-    """Collapse the binary tree into 4-wide nodes (host). Returns
-    (maps, root_meta). root_meta is the stack seed: the root wide id, or a
-    leaf word when the whole tree is one leaf. Leaf meta entries carry
-    COMPACT leaf indices (into maps.leaf_ids), not binary node ids."""
+def build_wide_maps(bvh: FlatBVH, width: int = 4) -> "tuple[WideMaps, int]":
+    """Collapse the binary tree into `width`-wide nodes (host; width 4 or 8 =
+    2 or 3 binary levels per wide level). Returns (maps, root_meta).
+    root_meta is the stack seed: the root wide id, or a leaf word when the
+    whole tree is one leaf. Leaf meta entries carry COMPACT leaf indices
+    (into maps.leaf_ids), not binary node ids.
+
+    Wider nodes halve the kernel's pop iterations again — the serial
+    pop->load->test->reduce->push chain is the traversal bottleneck for
+    incoherent packets (docs/PERFORMANCE.md) — at the cost of more box tests
+    per iteration (which pipeline as vector work)."""
+    levels = {4: 2, 8: 3}[width]
     count = np.asarray(bvh.count)
     right = np.asarray(bvh.right)
     n = count.shape[0]
     if n == 0 or count[0] > 0:
         # Single-leaf tree: one wide node whose first child is the leaf.
-        child_src = np.full((1, 4), -1, np.int32)
+        child_src = np.full((1, width), -1, np.int32)
         # Empty children get a harmless leaf word; they are never pushed
         # because the empty sentinel box cannot hit, and even if one were,
         # re-testing a real leaf row is idempotent.
-        meta = np.full((1, 4), WIDE_LEAF_BIT, np.int32)
+        meta = np.full((1, width), WIDE_LEAF_BIT, np.int32)
         leaf_ids = np.zeros(max(n, 1), np.int32)
         if n:
             child_src[0, 0] = 0
             meta[0, 0] = 0 | WIDE_LEAF_BIT
         return WideMaps(child_src=child_src, meta=meta, leaf_ids=leaf_ids), int(0)
 
+    def expand(b, depth):
+        """Descend `depth` binary levels from node b, stopping at leaves."""
+        if count[b] > 0 or depth == 0:
+            return [b]
+        return expand(b + 1, depth - 1) + expand(right[b], depth - 1)
+
     def entries_of(b):
-        """Child entries of binary internal node b: grandchildren where the
-        child is internal, the child itself where it is a leaf."""
-        out = []
-        for c in (b + 1, right[b]):
-            if count[c] > 0:
-                out.append(c)
-            else:
-                out.extend((c + 1, right[c]))
-        return out
+        """Child entries of binary internal node b: descendants
+        `levels` binary steps down (leaves stop early)."""
+        return expand(b + 1, levels - 1) + expand(right[b], levels - 1)
 
     wide_id = {0: 0}
     order = [0]
@@ -874,12 +881,12 @@ def build_wide_maps(bvh: FlatBVH) -> "tuple[WideMaps, int]":
                 wide_id[e] = len(order)
                 order.append(e)
                 work.append(e)
-    n4 = len(order)
-    child_src = np.full((n4, 4), -1, np.int32)
+    nw = len(order)
+    child_src = np.full((nw, width), -1, np.int32)
     # Empty children default to compact leaf 0: even if a sentinel box ever
     # hit, re-testing a real leaf row is idempotent, whereas pushing wide id
     # 0 (the root) would loop forever.
-    meta = np.full((n4, 4), WIDE_LEAF_BIT, np.int32)
+    meta = np.full((nw, width), WIDE_LEAF_BIT, np.int32)
     leaf_idx = {}
     leaf_ids = []
     for w, b in enumerate(order):
@@ -947,10 +954,9 @@ def assemble_wide(packed_nodes, maps: WideMaps):
     Meta words stay in maps.meta (i32) — they never mix into the f32 array
     (flush rule, see PackedBVH)."""
     src = jnp.asarray(maps.child_src)
-    boxes = packed_nodes[jnp.clip(src, 0, None), 0:6]          # (N4, 4, 6)
+    boxes = packed_nodes[jnp.clip(src, 0, None), 0:6]          # (NW, width, 6)
     boxes = jnp.where((src < 0)[..., None], jnp.asarray(_EMPTY_BOX), boxes)
-    n4 = src.shape[0]
-    return boxes.reshape(n4, 24)
+    return boxes.reshape(src.shape[0], src.shape[1] * 6)
 
 
 def gather_slot_triangles(bvh: FlatBVH, wpos, tri_vertex):

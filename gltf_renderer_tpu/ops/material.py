@@ -162,6 +162,34 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         yi = jnp.clip(wrap(yi, h, wt) + oy, 0, ah - 1)
         return yi * aw + xi
 
+    if textures.atlas_quad is not None:
+        # Quad-packed atlas: the 2x2 neighborhood is baked per texel
+        # (build_atlas_quad), so bilinear needs ONE (k*R)-row gather instead
+        # of one (4*k*R)-row gather — gather cost is row-count bound
+        # (tools/bench_rowwidth). Corner selection: if the wrapped +1
+        # coordinate collapses onto the same texel (CLAMP edge), take the
+        # center channel instead of the baked neighbor.
+        w0x = wrap(x0, w, ws)
+        w0y = wrap(y0, h, wt)
+        use_xp = (wrap(x0 + 1, w, ws) != w0x)[..., None]
+        use_yp = (wrap(y0 + 1, h, wt) != w0y)[..., None]
+        idx0 = (jnp.clip(w0y + oy, 0, ah - 1) * aw
+                + jnp.clip(w0x + ox, 0, aw - 1))                  # (k, R)
+        quad = textures.atlas_quad[idx0.reshape(-1)].reshape(
+            idx0.shape + (-1,)
+        ).astype(jnp.float32)                                     # (k, R, 16)
+        c00 = quad[..., 0:4]
+        c10 = jnp.where(use_xp, quad[..., 4:8], c00)
+        c01 = jnp.where(use_yp, quad[..., 8:12], c00)
+        c11 = jnp.where(
+            use_xp, jnp.where(use_yp, quad[..., 12:16], quad[..., 4:8]),
+            jnp.where(use_yp, quad[..., 8:12], c00),
+        )
+        out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
+            c01 * (1 - tx) + c11 * tx) * ty
+        out = jnp.where(present[..., None], out, 1.0)
+        return {s: (out[i], present[i]) for i, s in enumerate(slots)}
+
     idx = jnp.stack(
         [flat_idx(x0, y0), flat_idx(x0 + 1, y0),
          flat_idx(x0, y0 + 1), flat_idx(x0 + 1, y0 + 1)]

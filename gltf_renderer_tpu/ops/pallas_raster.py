@@ -35,6 +35,7 @@ TILE_W = 128
 TRI_BATCH = 4
 SETUP_WIDTH = 24
 NEAR_EPS = 1e-6
+CLIP_CAP = 1024  # max near-plane-crossing triangles clipped per frame (device path)
 
 
 class RasterSetup(NamedTuple):
@@ -390,6 +391,188 @@ def rasterize_tiles(rows, rows_i, flat_list, offsets, tile_ids, tiles: Tuple[int
         scatter(tri_c, -1, jnp.int32),
         scatter(u_c, 0.0, jnp.float32),
         scatter(v_c, 0.0, jnp.float32),
+    )
+
+
+def _clip_near_device(clip, tri_vertex, cross, clip_cap: int):
+    """Vectorized Sutherland–Hodgman clip against w = NEAR_EPS, in-graph.
+
+    Crossing triangles are compacted to the front with one sort_key_val (the
+    same machinery the PT's dispatch uses); the first `clip_cap` of them are
+    clipped fully vectorized. A triangle with 1 vertex inside yields 1 piece,
+    with 2 inside yields 2 (the quad fan). Beyond-cap crossers are dropped
+    (raycast parity tests bound cap generously; crossing tris are rare).
+
+    Returns (verts (2K, 3, 4) clip-space, bary (2K, 3, 3) barycentrics in the
+    SOURCE triangle, src (2K,) source ids, valid (2K,)).
+    """
+    t = tri_vertex.shape[0]
+    key = jnp.where(cross, 0, 1).astype(jnp.int32)
+    _, idx_sorted = jax.lax.sort_key_val(key, jnp.arange(t, dtype=jnp.int32))
+    cand = idx_sorted[:clip_cap]                       # (K,)
+    cand_valid = cross[cand]
+    vs = clip[tri_vertex[cand]]                        # (K, 3, 4)
+    inside = vs[..., 3] > NEAR_EPS                     # (K, 3)
+    n_in = inside.sum(-1)
+    # Rotate so v0 is the LONE vertex (inside one if n_in==1, outside one if
+    # n_in==2) — cyclic rotation preserves winding.
+    r_in = jnp.argmax(inside, axis=-1)
+    r_out = jnp.argmax(~inside, axis=-1)
+    r = jnp.where(n_in == 1, r_in, r_out)
+
+    def take(k):
+        j = (r + k) % 3
+        v = jnp.take_along_axis(vs, j[:, None, None], axis=1)[:, 0]
+        return v, jax.nn.one_hot(j, 3, dtype=jnp.float32)
+
+    va, ba = take(0)
+    vb, bb = take(1)
+    vc, bc = take(2)
+
+    def isect(p, q, bp, bq):
+        dw = q[:, 3] - p[:, 3]
+        s = (NEAR_EPS - p[:, 3]) / jnp.where(jnp.abs(dw) > 1e-20, dw, 1e-20)
+        s = s[:, None]
+        return p + s * (q - p), bp + s * (bq - bp)
+
+    iab, b_iab = isect(va, vb, ba, bb)
+    iac, b_iac = isect(va, vc, ba, bc)
+    one_in = (n_in == 1)[:, None, None]
+    # n_in==1 (a inside):  piece 1 = (a, iab, iac), no piece 2.
+    # n_in==2 (a outside): quad (iab, b, c, iac) -> (iab, b, c), (iab, c, iac).
+    t1_v = jnp.where(one_in, jnp.stack([va, iab, iac], 1), jnp.stack([iab, vb, vc], 1))
+    t1_b = jnp.where(one_in, jnp.stack([ba, b_iab, b_iac], 1), jnp.stack([b_iab, bb, bc], 1))
+    t2_v = jnp.stack([iab, vc, iac], 1)
+    t2_b = jnp.stack([b_iab, bc, b_iac], 1)
+    verts = jnp.concatenate([t1_v, t2_v])
+    bary = jnp.concatenate([t1_b, t2_b])
+    src = jnp.concatenate([cand, cand])
+    valid = jnp.concatenate(
+        [cand_valid & (n_in >= 1), cand_valid & (n_in == 2)]
+    )
+    return verts, bary, src, valid
+
+
+def _screen_rows(verts, bary, width, height):
+    """Clip-space (K, 3, 4) + source barycentrics -> (K, 24) setup rows."""
+    w = verts[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    sx = ((verts[..., 0] / safe_w) + 1.0) * 0.5 * width
+    sy = (-(verts[..., 1] / safe_w) + 1.0) * 0.5 * height
+    sz = verts[..., 2] / safe_w
+    iw = 1.0 / safe_w
+    k = verts.shape[0]
+    return jnp.concatenate(
+        [jnp.stack([sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
+                    sz[:, 0], sz[:, 1], sz[:, 2], iw[:, 0], iw[:, 1], iw[:, 2]], 1),
+         bary[:, 0, 1:3], bary[:, 1, 1:3], bary[:, 2, 1:3],
+         jnp.zeros((k, SETUP_WIDTH - 18), jnp.float32)],
+        axis=1,
+    )
+
+
+def _bin_device(rows, valid, width: int, height: int, pair_cap: int):
+    """On-device tile binning: (tri, tile) pair expansion via
+    jnp.repeat(total_repeat_length) + ONE lax.sort_key_val + searchsorted CSR
+    offsets — no host sync anywhere (the host-binned path pays a ~25 ms
+    tunnel round trip per frame AND breaks cross-frame pipelining,
+    docs/PERFORMANCE.md). Pairs beyond pair_cap are dropped (cap is sized
+    ~4x the triangle count)."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    t = rows.shape[0]
+    sx = rows[:, 0:6:2]
+    sy = rows[:, 1:6:2]
+    x0 = sx.min(1)
+    x1 = sx.max(1)
+    y0 = sy.min(1)
+    y1 = sy.max(1)
+    valid = valid & (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
+    tx0 = jnp.clip((x0 // TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip((x1 // TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip((y0 // TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip((y1 // TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    nx = jnp.where(valid, tx1 - tx0 + 1, 0)
+    ny = jnp.where(valid, ty1 - ty0 + 1, 0)
+    counts = (nx * ny).astype(jnp.int32)
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    tri_rep = jnp.repeat(
+        jnp.arange(t, dtype=jnp.int32), counts, total_repeat_length=pair_cap
+    )
+    j = jnp.arange(pair_cap, dtype=jnp.int32)
+    local = j - starts[tri_rep]
+    nxr = jnp.maximum(nx[tri_rep], 1)
+    ok = (local >= 0) & (local < counts[tri_rep]) & (j < ends[-1])
+    lx = local % nxr
+    ly = local // nxr
+    tile = (ty0[tri_rep] + ly) * tiles_x + (tx0[tri_rep] + lx)
+    tile = jnp.where(ok, tile, n_tiles).astype(jnp.int32)
+    tile_s, tri_s = jax.lax.sort_key_val(tile, tri_rep)
+    offsets = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return tri_s, offsets, (tiles_x, tiles_y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "pair_cap", "clip_cap", "cull_sign",
+                     "interpret"),
+)
+def rasterize_device(world_position, tri_vertex, world_to_clip, width: int,
+                     height: int, double_sided=None, cull_sign: int = 1,
+                     pair_cap: int = 0, clip_cap: int = CLIP_CAP,
+                     interpret: bool = False):
+    """Fully-jitted raster pipeline: setup + near clip + binning + kernel all
+    in ONE traced graph (composable into the renderer's single frame graph —
+    the host-binned `rasterize` forces a mid-frame device->host sync).
+
+    Returns (z, tri, u, v) cropped to (height, width)."""
+    t = tri_vertex.shape[0]
+    if pair_cap <= 0:
+        pair_cap = max(1 << 16, 1 << int(np.ceil(np.log2(4 * t))))
+    rows_d, clip, summary = _setup_device(
+        world_position, tri_vertex, world_to_clip, width, height, double_sided
+    )
+    keep = summary[:, 4] > 0.5
+    cross = summary[:, 5] > 0.5
+    ds = (jnp.asarray(double_sided, jnp.int32) if double_sided is not None
+          else jnp.zeros(t, jnp.int32))
+    ids = jnp.arange(t, dtype=jnp.int32)
+    zi = jnp.zeros(t, jnp.int32)
+    rows_i = jnp.stack([ids, ds] + [zi] * 6, 1)
+
+    verts, bary, src, cvalid = _clip_near_device(clip, tri_vertex, cross, clip_cap)
+    rows_ext = _screen_rows(verts, bary, width, height)
+    zi2 = jnp.zeros(src.shape[0], jnp.int32)
+    rows_i_ext = jnp.stack([src, ds[src]] + [zi2] * 6, 1)
+
+    rows = jnp.concatenate([rows_d, rows_ext])
+    rows_i = jnp.concatenate([rows_i, rows_i_ext])
+    valid = jnp.concatenate([keep, cvalid])
+
+    tri_list, offsets, tiles = _bin_device(rows, valid, width, height, pair_cap)
+    # The kernel's triangle list is a scalar-prefetch operand and must fit
+    # SMEM (1.00 MB total on v5e, measured: a 262144-entry list overflows by
+    # the other operands). Sentinel pairs sort last, so slicing the sorted
+    # list keeps every REAL pair as long as the real total fits LIST_CAP.
+    list_cap = 114688  # 0.44 MB of SMEM
+    if tri_list.shape[0] > list_cap:
+        tri_list = tri_list[:list_cap]
+        offsets = jnp.minimum(offsets, list_cap)
+    tiles_x, tiles_y = tiles
+    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    z, tri, u, v = rasterize_tiles(
+        rows, rows_i, tri_list, offsets, tile_ids, tiles,
+        cull_sign=cull_sign, interpret=interpret,
+    )
+    return (
+        z[:height, :width],
+        tri[:height, :width],
+        u[:height, :width],
+        v[:height, :width],
     )
 
 

@@ -129,6 +129,8 @@ def _traverse_kernel(
                     inv_x=inv_x, inv_y=inv_y, inv_z=inv_z,
                     t_min=t_min, t_cap=t_cap, lane_any=lane_any)
 
+    n_child = meta_ref.shape[1]          # 4- or 8-wide nodes (static)
+
     def descent_step(sp, qn, sbase, qbase, pend, t_best, rays):
         """Two-deep software-pipelined MULTI-pop: the pushes applied here
         were decided TWO iterations ago — their cross-lane reduces (the long
@@ -143,24 +145,22 @@ def _traverse_kernel(
 
         Branch-free: leaves (and idle packets) box-test the dummy row, whose
         far-point boxes never hit, so their deferred pushes are zero."""
-        # pend: POP groups of (s01, s23, m0, m1, m2, m3). All 4*POP push
-        # slots store IN PARALLEL: addresses come from a running prefix over
-        # the push bits (plain scalar adds, ~1 cycle each) and slots that do
-        # NOT push write the trash slot (index MAX_STACK) — so no store's
-        # address waits on another store completing. Push order: group POP-1
-        # first so group 0 (the earliest pop, nearest by build order) ends on
-        # top; within a group c=3..0 so child 0 pops first.
+        # pend: POP groups of (sums, metas): sums[i] packs children (2i,
+        # 2i+1)'s lane counts in 14-bit fields; metas are the n_child meta
+        # words. All n_child*POP push slots store IN PARALLEL: addresses come
+        # from a running prefix over the push bits (plain scalar adds, ~1
+        # cycle each) and slots that do NOT push write the trash slot (index
+        # MAX_STACK) — so no store's address waits on another store
+        # completing. Push order: group POP-1 first so group 0 (the earliest
+        # pop, nearest by build order) ends on top; within a group
+        # c = n_child-1..0 so child 0 pops first.
         seq = []
         for g in range(len(pend) - 1, -1, -1):
-            s01, s23, m0, m1, m2, m3 = pend[g]
-            bit = (
-                ((s01 & 16383) > 0).astype(jnp.int32),
-                ((s01 >> 14) > 0).astype(jnp.int32),
-                ((s23 & 16383) > 0).astype(jnp.int32),
-                ((s23 >> 14) > 0).astype(jnp.int32),
-            )
-            for c, m in ((3, m3), (2, m2), (1, m1), (0, m0)):
-                seq.append((bit[c], m))
+            sums, metas = pend[g]
+            for c in range(n_child - 1, -1, -1):
+                s = sums[c // 2]
+                b = (((s >> 14) if (c & 1) else (s & 16383)) > 0).astype(jnp.int32)
+                seq.append((b, metas[c]))
         acc = jnp.int32(0)
         for b, m in seq:
             addr = jnp.where(b > 0, jnp.minimum(sp + acc, MAX_STACK), MAX_STACK)
@@ -179,7 +179,7 @@ def _traverse_kernel(
             nrow = nodes_ref[node, :]
             mrow = meta_ref[node, :]
             bits = []
-            for c in range(4):
+            for c in range(n_child):
                 lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
                 hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
                 tx0 = (lox - rays["ox"]) * rays["inv_x"]
@@ -198,19 +198,21 @@ def _traverse_kernel(
                 )
                 box_hit = (tf >= jnp.maximum(tn, rays["t_min"])) & (tn <= t_best)
                 bits.append(box_hit.astype(jnp.int32))
-            # 2 cross-lane reductions per group instead of 4: lane counts
-            # (<= 4096) packed in 14-bit fields survive an integer sum
-            # exactly. Results are NOT consumed here — they are applied at
-            # the top of the iteration after next.
-            n01 = jnp.sum(bits[0] + (bits[1] << 14))
-            n23 = jnp.sum(bits[2] + (bits[3] << 14))
+            # n_child/2 cross-lane reductions per group instead of n_child:
+            # lane counts (<= 4096) packed in 14-bit fields survive an
+            # integer sum exactly. Results are NOT consumed here — they are
+            # applied at the top of the iteration after next.
+            sums = tuple(
+                jnp.sum(bits[2 * i] + (bits[2 * i + 1] << 14))
+                for i in range(n_child // 2)
+            )
             # Leaf entries buffer into the SMEM queue (flushed in batches);
             # same parallel-store-with-trash-slot scheme as the stack pushes.
             lf = e_is_leaf.astype(jnp.int32)
             qaddr = jnp.where(lf > 0, jnp.minimum(qn + qacc, QCAP), QCAP)
             queue_ref[qbase + qaddr] = entry & WIDE_ID_MASK
             qacc = qacc + lf
-            groups.append((n01, n23, mrow[0], mrow[1], mrow[2], mrow[3]))
+            groups.append((sums, tuple(mrow[c] for c in range(n_child))))
         qn = jnp.minimum(qn + qacc, QCAP)
         sp = jnp.maximum(sp - POP, 0)
         return sp, qn, tuple(groups)
@@ -292,10 +294,12 @@ def _traverse_kernel(
     )
     # Seed the two-deep pipeline with a pending "push the root" (count 1 in
     # field 0 of group 0) one stage out and an empty stage behind it.
-    empty_group = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                   jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    root_group = (jnp.int32(1), jnp.int32(0), jnp.int32(root_meta),
-                  jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    zero = jnp.int32(0)
+    empty_group = ((zero,) * (n_child // 2), (zero,) * n_child)
+    root_group = (
+        (jnp.int32(1),) + (zero,) * (n_child // 2 - 1),
+        (jnp.int32(root_meta),) + (zero,) * (n_child - 1),
+    )
     pend0 = (root_group,) + (empty_group,) * (POP - 1)
     pend_none = (empty_group,) * POP
 
@@ -307,8 +311,9 @@ def _traverse_kernel(
     def live(state):
         sp, _qn, pend_a, pend_b, _best = state
         pending = jnp.int32(0)
-        for g in pend_a + pend_b:
-            pending = pending | g[0] | g[1]
+        for sums, _metas in pend_a + pend_b:
+            for s in sums:
+                pending = pending | s
         return (sp > 0) | (pending != 0)
 
     def inner_cond(state):
@@ -395,10 +400,10 @@ def traverse_packets_wide(
     # wide children, ops/bvh._EMPTY_BOX) — popped leaves box-test this row.
     dummy_id = wide_nodes.shape[0]
     nodes_x = jnp.concatenate(
-        [wide_nodes, jnp.full((1, 24), 3.0e38, jnp.float32)]
+        [wide_nodes, jnp.full((1, wide_nodes.shape[1]), 3.0e38, jnp.float32)]
     )
     meta_x = jnp.concatenate(
-        [wide_meta, jnp.full((1, 4), WIDE_LEAF_BIT, jnp.int32)]
+        [wide_meta, jnp.full((1, wide_meta.shape[1]), WIDE_LEAF_BIT, jnp.int32)]
     )
 
     grid = (n_pack,)
@@ -460,6 +465,7 @@ def traverse_packets(
     cull_sign: int = 0,
     blend_mode: int = 0,
     interpret: bool = False,
+    width: int = 4,
 ):
     """Compatibility wrapper over a binary PackedBVH: builds the wide tables
     on the fly (tests / tools). Hot paths pass prebuilt wide tables via
@@ -480,7 +486,7 @@ def traverse_packets(
         count=is_leaf.astype(np.int32), skip=skip, right=right,
         tri_order=None, levels=None,
     )
-    maps, root_meta = bvh_ops.build_wide_maps(tree)
+    maps, root_meta = bvh_ops.build_wide_maps(tree, width=width)
     wide = bvh_ops.assemble_wide(packed.nodes, maps)
     leaf_ids = jnp.asarray(maps.leaf_ids)
     return traverse_packets_wide(

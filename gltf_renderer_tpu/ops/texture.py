@@ -47,6 +47,62 @@ def decode_atlas_linear(tex: TextureTable) -> TextureTable:
     )
 
 
+QUAD_ATLAS_MAX_TEXELS = 32 * 1024 * 1024  # 1 GB of f16 quad rows
+
+
+def build_atlas_quad(tex: TextureTable) -> TextureTable:
+    """Bake each linear-atlas texel's 2x2 bilinear neighborhood into one
+    (AH*AW, 16) f16 row: [c00, c10, c01, c11] with the +1 neighbors wrapped
+    under the OWNING texture's wrap mode in ITS rect (host numpy, once per
+    scene).
+
+    Sampling then needs ONE row gather per (slot, ray) instead of four
+    (sample_slots_fused); exact for REPEAT (seam texel baked) and CLAMP
+    (sample-time wrap makes both corners collapse onto the edge texel, and
+    the corner-select in sample_slots_fused picks the center). MIRROR flips
+    traversal direction on odd replicas (needs -1 neighbors): scenes with any
+    mirror-wrapped texture keep atlas_quad=None and take the 4-corner path.
+    """
+    import numpy as np
+
+    from gltf_renderer_tpu.scene.types import WRAP_MIRROR
+
+    if tex.atlas_linear is None:
+        return tex
+    lin = np.asarray(tex.atlas_linear)
+    if lin.size == 0:
+        return tex
+    ah, aw = np.asarray(tex.atlas).shape[0], np.asarray(tex.atlas).shape[1]
+    if ah * aw > QUAD_ATLAS_MAX_TEXELS:
+        return tex
+    if (np.asarray(tex.wrap_s) == WRAP_MIRROR).any() or (
+        np.asarray(tex.wrap_t) == WRAP_MIRROR
+    ).any():
+        return tex
+    img = lin.reshape(ah, aw, 4)
+    # Default neighbors: atlas-clamped (only reachable for padding texels).
+    xp = np.minimum(np.arange(aw) + 1, aw - 1)
+    yp = np.minimum(np.arange(ah) + 1, ah - 1)
+    q = np.concatenate(
+        [img, img[:, xp], img[yp], img[yp][:, xp]], axis=-1
+    )  # (AH, AW, 16)
+    xs, ys = np.asarray(tex.x), np.asarray(tex.y)
+    ws, hs = np.asarray(tex.width), np.asarray(tex.height)
+    for i in range(len(xs)):
+        x, y, w, h = int(xs[i]), int(ys[i]), int(ws[i]), int(hs[i])
+        if w <= 0 or h <= 0:
+            continue
+        sub = img[y : y + h, x : x + w]
+        # Repeat-local +1 (clamp correctness comes from sample-time wrap
+        # collapsing the corner onto the same texel -> center selected).
+        lxp = (np.arange(w) + 1) % w
+        lyp = (np.arange(h) + 1) % h
+        q[y : y + h, x : x + w] = np.concatenate(
+            [sub, sub[:, lxp], sub[lyp], sub[lyp][:, lxp]], axis=-1
+        )
+    return tex._replace(atlas_quad=q.reshape(-1, 16).astype(np.float16))
+
+
 def transform_uv(uv, rotation, offset, scale):
     """KHR_texture_transform (Material.hlsli TransformUv:68-88):
     uv' = translate(offset) * rot(rotation) * scale applied to (u, v, 1)."""

@@ -323,9 +323,12 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
     # hardware sRGB views — Gltf.cpp:1048-1078): the per-hit sRGB pow over
     # every fetched texel disappears from the shading path.
     if textures.atlas_linear is None and np.asarray(textures.atlas).size:
-        from gltf_renderer_tpu.ops.texture import decode_atlas_linear
+        from gltf_renderer_tpu.ops.texture import build_atlas_quad, decode_atlas_linear
 
         textures = decode_atlas_linear(jax.tree.map(np.asarray, textures))
+        # Quad-pack the bilinear neighborhoods: 1 row gather per (slot, ray)
+        # instead of 4 (skipped for mirror-wrap scenes / huge atlases).
+        textures = build_atlas_quad(textures)
     textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
     # texture metadata joined in: per-hit shading needs ONE material-row
@@ -449,14 +452,20 @@ def _generate_tangent(normal):
 
 
 def _gather_tri_vertices(world: WorldGeometry, tri):
-    """One tri-row gather + ONE fused 3-vertex-row gather (vs 3 separate:
-    per-gather fixed cost dominates on TPU — see docs/PERFORMANCE.md)."""
+    """ONE tri-major row gather fetches all 3 vertices + material + flags.
+
+    Gather cost on TPU is ROW-COUNT bound, not byte bound (64-wide rows cost
+    the same per row as 8-wide — tools/bench_rowwidth), so one (R, 64) gather
+    beats the old 1 tri-row + 1 fused (3R, 20) vertex gather ~2x.
+    Returns ((material, fbits), v0row, v1row, v2row)."""
     tri_c = jnp.clip(tri, 0, None)
-    trow = world.tri_rows[tri_c]                     # (R, 8) i32
-    idx = jnp.concatenate([trow[:, 0], trow[:, 1], trow[:, 2]])
-    rr = world.vertex_rows[idx]                      # (3R, 20) f32 — one gather
-    r0, r1, r2 = jnp.split(rr, 3, axis=0)
-    return trow, r0, r1, r2
+    row = world.tri_attr_rows[tri_c]                 # (R, 64) f32 — one gather
+    r0 = row[:, 0:20]
+    r1 = row[:, 20:40]
+    r2 = row[:, 40:60]
+    material = jax.lax.bitcast_convert_type(row[:, 60], jnp.int32)
+    fbits = jax.lax.bitcast_convert_type(row[:, 61], jnp.int32)
+    return (material, fbits), r0, r1, r2
 
 
 def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttributes:
@@ -466,9 +475,7 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
         TRI_HAS_COLOR, TRI_HAS_TS, TRI_HAS_UV0, TRI_HAS_UV1,
     )
 
-    trow, r0, r1, r2 = _gather_tri_vertices(world, tri)
-    material = trow[:, 3]
-    fbits = trow[:, 4]
+    (material, fbits), r0, r1, r2 = _gather_tri_vertices(world, tri)
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]
@@ -527,9 +534,7 @@ def _hit_base_alpha(scene: PTScene, meta: PTMeta, tri, u, v):
     from gltf_renderer_tpu.scene.flatten import TRI_HAS_COLOR, TRI_HAS_UV0, TRI_HAS_UV1
 
     world = scene.world
-    trow, r0, r1, r2 = _gather_tri_vertices(world, tri)
-    mat = trow[:, 3]
-    fbits = trow[:, 4]
+    (mat, fbits), r0, r1, r2 = _gather_tri_vertices(world, tri)
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]

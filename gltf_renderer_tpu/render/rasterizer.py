@@ -406,10 +406,16 @@ def render(
     if visibility == "tiled":
         from gltf_renderer_tpu.ops import pallas_raster as _pr
 
+        try:
+            interp = jax.default_backend() == "cpu"
+        except RuntimeError:
+            interp = True
         world_to_clip = jnp.linalg.inv(clip_to_world)
-        zb, tri_b, u_b, v_b = _pr.rasterize(
+        # Device-binned pipeline: the whole visibility stage stays inside this
+        # (jittable) graph — no host sync mid-frame (docs/PERFORMANCE.md).
+        zb, tri_b, u_b, v_b = _pr.rasterize_device(
             scene.world.position, scene.world.tri_vertex, world_to_clip, w, h,
-            double_sided=scene.world.tri_double_sided,
+            double_sided=scene.world.tri_double_sided, interpret=interp,
         )
         # Exclude blended/transmissive triangles from the opaque buffer and
         # reconstruct ray t so the blend pass can composite against depth.
@@ -435,10 +441,12 @@ def render(
             cpx, cpy, (w, h), clip_to_world
         )
         if tiled_hit is not None:
-            tv = scene.world.tri_vertex[jnp.clip(ctri, 0, None)]
-            p0 = scene.world.position[tv[:, 0]]
-            p1 = scene.world.position[tv[:, 1]]
-            p2 = scene.world.position[tv[:, 2]]
+            # ONE tri-major row gather for all three vertex positions
+            # (gather cost is row-count bound, tools/bench_rowwidth).
+            row = scene.world.tri_attr_rows[jnp.clip(ctri, 0, None)]
+            p0 = row[:, 0:3]
+            p1 = row[:, 20:23]
+            p2 = row[:, 40:43]
             wpos = (1.0 - cu - cv)[:, None] * p0 + cu[:, None] * p1 + cv[:, None] * p2
             dist = jnp.linalg.norm(wpos - origin, axis=-1)
             hit = bvh_ops.Hit(

@@ -47,15 +47,17 @@ def _pt_step(ptscene, meta, settings, params, c2w, resolution, seed, accum, fram
     return new_accum
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 6))
-def _raster_step(ptscene, meta, settings, params, c2w, cam_pos, resolution, frame):
+@functools.partial(jax.jit, static_argnums=(1, 2, 6, 8))
+def _raster_step(ptscene, meta, settings, params, c2w, cam_pos, resolution, frame,
+                 visibility="raycast"):
     # The whole DrawScene runs as ONE jitted graph (Rasterizer.cpp:150-288);
     # eager per-op dispatch through the TPU tunnel costs ms per op.
     from gltf_renderer_tpu.render import rasterizer
 
     with jax.named_scope("draw_scene"):
         return rasterizer.render(
-            ptscene, meta, settings, params, c2w, cam_pos, resolution, frame
+            ptscene, meta, settings, params, c2w, cam_pos, resolution, frame,
+            visibility=visibility,
         )
 
 

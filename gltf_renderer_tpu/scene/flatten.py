@@ -128,6 +128,11 @@ class WorldGeometry(NamedTuple):
     # Packed hot-path rows: ONE row gather fetches a vertex / a triangle.
     vertex_rows: Any = None  # (VW, 20) f32: pos3 nrm3 tan4 uv0_2 uv1_2 col4 pad2
     tri_rows: Any = None     # (TW, 8) i32: v0 v1 v2 material flagbits 0 0 0
+    # Tri-major hit-attribute rows: ONE (R, 64) gather per hit fetch. Gather
+    # cost on TPU is ROW-COUNT bound, not byte bound (tools/bench_rowwidth:
+    # width 8..128 all ~4.3 ms per 262k rows) — so one 64-wide row per
+    # triangle beats 1 tri-row + 3 vertex-row gathers ~2x.
+    tri_attr_rows: Any = None  # (TW, 64) f32: v0row v1row v2row | material fbits (bitcast) pad2
 
 
 def build_instance_plan(scene: T.Scene, scene_id: Optional[int] = None) -> T.InstancePlan:
@@ -283,6 +288,20 @@ def build_world_geometry(
         ],
         axis=1,
     )
+    tv = plan.tri_vertex.astype(jnp.int32)
+    tri_attr_rows = jnp.concatenate(
+        [
+            vertex_rows[tv[:, 0]],
+            vertex_rows[tv[:, 1]],
+            vertex_rows[tv[:, 2]],
+            jax.lax.bitcast_convert_type(
+                plan.tri_material.astype(jnp.int32), jnp.float32
+            )[:, None],
+            jax.lax.bitcast_convert_type(flagbits, jnp.float32)[:, None],
+            jnp.zeros((tv.shape[0], 2), jnp.float32),
+        ],
+        axis=1,
+    )
     return WorldGeometry(
         position=wpos,
         normal=wnrm,
@@ -300,6 +319,7 @@ def build_world_geometry(
         tri_has_color=tri_flags["tri_has_color"],
         vertex_rows=vertex_rows,
         tri_rows=tri_rows,
+        tri_attr_rows=tri_attr_rows,
     )
 
 

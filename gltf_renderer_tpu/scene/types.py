@@ -197,6 +197,12 @@ class TextureTable(NamedTuple):
     # (Gltf.cpp:1048-1078): built once per scene (decode_atlas_linear), the
     # hot path gathers linear texels directly — no per-hit sRGB pow over
     # 4*k*R fetched texels (docs/PERFORMANCE.md round-3 queue item 2).
+    atlas_quad: Any = None  # (AH*AW, 16) f16 — each row holds the texel AND
+    # its +x/+y/+xy neighbors under the OWNING TEXTURE's wrap mode (baked at
+    # build, build_atlas_quad). Bilinear then needs ONE k*R-row gather
+    # instead of a 4*k*R-row gather; gather cost is row-count bound
+    # (tools/bench_rowwidth). None when the scene uses mirror wrap (backward
+    # neighbors on flipped replicas aren't baked) or the atlas is huge.
 
 
 class GeometryPools(NamedTuple):

@@ -172,6 +172,36 @@ def test_near_plane_clipping(setup):
     np.testing.assert_allclose(np.asarray(v)[same], ref_v[same], atol=2e-2)
 
 
+def test_device_binning_matches_host(setup):
+    """rasterize_device (in-graph binning + in-graph near clip) must produce
+    the same visibility buffer as the host-binned rasterize, including with
+    the camera cutting geometry at the near plane."""
+    world, ptscene, meta, cam = setup
+    w, h = 256, 128
+    cams = [cam]
+    cam2 = Camera(y_fov=np.pi / 3, aspect_ratio=2.0, z_near=0.05)
+    cam2.world_to_view = look_at([0.45, 0.0, 0.0], [-1.0, 0.0, 0.0])
+    cams.append(cam2)
+    for c in cams:
+        w2c = jnp.asarray(c.world_to_clip())
+        zh, th, uh, vh = pr.rasterize(
+            world.position, world.tri_vertex, w2c, w, h,
+            double_sided=world.tri_double_sided, interpret=True,
+        )
+        zd, td, ud, vd = pr.rasterize_device(
+            world.position, world.tri_vertex, w2c, w, h,
+            double_sided=world.tri_double_sided, interpret=True,
+        )
+        th, td = np.asarray(th), np.asarray(td)
+        # Identical triangle selection except at most a sliver of edge pixels
+        # (near-clip piece fans may split edges differently).
+        assert (th == td).mean() > 0.995, (th == td).mean()
+        m = (th == td) & (th >= 0)
+        np.testing.assert_allclose(np.asarray(zh)[m], np.asarray(zd)[m], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(uh)[m], np.asarray(ud)[m], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vh)[m], np.asarray(vd)[m], atol=1e-4)
+
+
 def test_raster_render_masked_tiled(tmp_path):
     """visibility="tiled" on a scene WITH alpha-masked materials: rejected
     texels are re-traced by the retry loop; the image must match the raycast

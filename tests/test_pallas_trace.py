@@ -50,13 +50,14 @@ def _random_rays(n_rays, seed, coherent=False):
     return jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min), jnp.asarray(t_max)
 
 
-def _compare_closest(packed, o, d, t_min, t_max, cull_sign, blend_mode):
+def _compare_closest(packed, o, d, t_min, t_max, cull_sign, blend_mode,
+                     width=4):
     ref = bvh_ops.intersect_closest_p(
         packed, o, d, t_min, t_max, blend_mode=blend_mode, cull_sign=cull_sign
     )
     t, word, u, v = traverse_packets(
         packed, o, d, t_min, t_max,
-        cull_sign=cull_sign, blend_mode=blend_mode, interpret=True,
+        cull_sign=cull_sign, blend_mode=blend_mode, interpret=True, width=width,
     )
     tri = np.where(np.asarray(word) >= 0, np.asarray(word) & bvh_ops.ID_MASK, -1)
     ref_tri = np.asarray(ref.tri)
@@ -99,6 +100,27 @@ def test_closest_coherent_packet():
     packed = _random_scene(300, seed=23)
     o, d, t_min, t_max = _random_rays(512, seed=29, coherent=True)
     _compare_closest(packed, o, d, t_min, t_max, 0, bvh_ops.BLEND_ANY)
+
+
+@pytest.mark.parametrize("cull_sign,blend_mode", [
+    (0, bvh_ops.BLEND_ANY), (1, bvh_ops.BLEND_ANY), (-1, bvh_ops.BLEND_ANY),
+    (0, bvh_ops.BLEND_EXCLUDE), (0, bvh_ops.BLEND_ONLY),
+])
+def test_closest_matches_xla_wide8(cull_sign, blend_mode):
+    """8-wide nodes (3 collapsed binary levels) against the XLA reference."""
+    packed = _random_scene(300, seed=41)
+    o, d, t_min, t_max = _random_rays(384, seed=43)
+    _compare_closest(packed, o, d, t_min, t_max, cull_sign, blend_mode, width=8)
+
+
+def test_any_hit_wide8():
+    packed = _random_scene(200, seed=47)
+    o, d, t_min, t_max = _random_rays(256, seed=53)
+    ref = bvh_ops.intersect_any_p(packed, o, d, t_min, t_max)
+    t, word, u, v = traverse_packets(
+        packed, o, d, t_min, t_max, any_hit=True, interpret=True, width=8
+    )
+    np.testing.assert_array_equal(np.asarray(word) >= 0, np.asarray(ref))
 
 
 def test_any_hit_matches_xla():
