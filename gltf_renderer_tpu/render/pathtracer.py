@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, NamedTuple, Optional
 
 import numpy as np
@@ -326,9 +327,15 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         from gltf_renderer_tpu.ops.texture import build_atlas_quad, decode_atlas_linear
 
         textures = decode_atlas_linear(jax.tree.map(np.asarray, textures))
-        # Quad-pack the bilinear neighborhoods: 1 row gather per (slot, ray)
-        # instead of 4 (skipped for mirror-wrap scenes / huge atlases).
-        textures = build_atlas_quad(textures)
+        # Quad-packing the bilinear neighborhoods (1 row gather per
+        # (slot, ray) instead of 4 — build_atlas_quad) is a measured NET
+        # LOSS in the PT path despite the 4x fewer gather rows: helmet 2.88
+        # -> 3.30 Mrays/s and courtyard 0.70 -> 0.89 with it OFF. The 4x
+        # bigger rows/table (32 B f16 quads vs 8 B texels) cost more HBM
+        # than the row-count savings buy back (docs/PERFORMANCE.md). Off by
+        # default; GLTF_TPU_QUAD=1 re-enables for experiments.
+        if os.environ.get("GLTF_TPU_QUAD", "0") == "1":
+            textures = build_atlas_quad(textures)
     textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
     # texture metadata joined in: per-hit shading needs ONE material-row
@@ -342,7 +349,12 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         ))
     )
     packed = bvh_ops.pack(tree, sv0, se1, se2, slot_flags)
-    wide_maps_np, wide_root = bvh_ops.build_wide_maps(tree)
+    # 8-wide nodes halve the serial pop chain per node visit but lose
+    # end-to-end on TPU (helmet 2.66 vs 2.88 Mrays/s; courtyard neutral
+    # 0.690 vs 0.699): the doubled per-node box-test vector work outweighs
+    # the saved pops in the balanced regime (docs/PERFORMANCE.md). Keep 4.
+    wide_width = int(os.environ.get("GLTF_TPU_WIDE", "4"))
+    wide_maps_np, wide_root = bvh_ops.build_wide_maps(tree, width=wide_width)
     # Scene build runs numpy-side (no jit compiles — through the tunnel even
     # small CPU-graph compiles intermittently cost minutes): assemble the
     # wide boxes and gather the kernel leaf tables with numpy, then place.
@@ -351,7 +363,7 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
     wide_nodes_np = nodes_np[np.clip(src, 0, None), 0:6]
     wide_nodes_np = np.where(
         (src < 0)[..., None], bvh_ops._EMPTY_BOX, wide_nodes_np
-    ).reshape(src.shape[0], 24).astype(np.float32)
+    ).reshape(src.shape[0], src.shape[1] * 6).astype(np.float32)
     wide_maps = bvh_ops.WideMaps(
         child_src=jnp.asarray(wide_maps_np.child_src),
         meta=jnp.asarray(wide_maps_np.meta),
@@ -459,7 +471,20 @@ def _gather_tri_vertices(world: WorldGeometry, tri):
     beats the old 1 tri-row + 1 fused (3R, 20) vertex gather ~2x.
     Returns ((material, fbits), v0row, v1row, v2row)."""
     tri_c = jnp.clip(tri, 0, None)
+    if os.environ.get("GLTF_TPU_TRIROWS", "1") == "0":
+        # A/B fallback: 1 tri-row + 1 fused 3-vertex-row gather (round-2 path).
+        trow = world.tri_rows[tri_c]                 # (R, 8) i32
+        idx = jnp.concatenate([trow[:, 0], trow[:, 1], trow[:, 2]])
+        rr = world.vertex_rows[idx]                  # (3R, 20) f32 — one gather
+        r0, r1, r2 = jnp.split(rr, 3, axis=0)
+        return (trow[:, 3], trow[:, 4]), r0, r1, r2
     row = world.tri_attr_rows[tri_c]                 # (R, 64) f32 — one gather
+    if row.dtype == jnp.bfloat16:
+        # bf16 table probe (GLTF_TPU_BF16ROWS): ids are plain bf16 ints.
+        material = row[:, 60].astype(jnp.int32)
+        fbits = row[:, 61].astype(jnp.int32)
+        row = row.astype(jnp.float32)
+        return (material, fbits), row[:, 0:20], row[:, 20:40], row[:, 40:60]
     r0 = row[:, 0:20]
     r1 = row[:, 20:40]
     r2 = row[:, 40:60]
@@ -1003,20 +1028,53 @@ def _tile_order(w: int, h: int, tile: int = PACKET_TILE):
     A 1024-ray packet in scanline order spans the full image width — its rays'
     traversal UNION is near the whole tree, which is what the packet kernel
     pays (measured ~48 ms per 262k coherent rays). In 32x32-tile order the
-    union is a narrow frustum. Returns (px, py, inverse) host arrays: pixel
-    k of the traced stream is (px[k], py[k]) and image_flat[inverse] = stream.
+    union is a narrow frustum.
+
+    The stream is the PADDED block order — a pure reshape/transpose of the
+    edge-clamp-padded image — so mapping stream<->image needs NO gather
+    (_to_tile_order/_from_tile_order; the old permutation-gather inverse cost
+    ~19 ms PER 2M-pixel channel on the TPU). Edge tiles contain clamped
+    DUPLICATE pixels; `valid` marks the real ones (duplicates trace dead and
+    are cropped away).
+
+    Returns (px, py, valid) host arrays of length ceil(h/tile)*ceil(w/tile)
+    * tile^2.
     """
-    ty, tx = np.meshgrid(np.arange(0, h, tile), np.arange(0, w, tile), indexing="ij")
+    hp = -(-h // tile) * tile
+    wp = -(-w // tile) * tile
+    ty, tx = np.meshgrid(np.arange(0, hp, tile), np.arange(0, wp, tile), indexing="ij")
     iy, ix = np.meshgrid(np.arange(tile), np.arange(tile), indexing="ij")
     px = (tx.reshape(-1, 1) + ix.reshape(1, -1)).reshape(-1)
     py = (ty.reshape(-1, 1) + iy.reshape(1, -1)).reshape(-1)
-    keep = (px < w) & (py < h)
-    px = px[keep].astype(np.int32)
-    py = py[keep].astype(np.int32)
-    flat = py.astype(np.int64) * w + px
-    inverse = np.empty(w * h, np.int64)
-    inverse[flat] = np.arange(w * h)
-    return px, py, inverse
+    valid = (px < w) & (py < h)
+    px = np.minimum(px, w - 1).astype(np.int32)
+    py = np.minimum(py, h - 1).astype(np.int32)
+    return px, py, valid
+
+
+def _from_tile_order(stream, w: int, h: int, tile: int = PACKET_TILE):
+    """(N', C...) tile-order stream -> (h, w, C...) image; reshape/transpose
+    only (the stream layout is _tile_order's padded block order)."""
+    hp = -(-h // tile) * tile
+    wp = -(-w // tile) * tile
+    c_shape = stream.shape[1:]
+    x = stream.reshape((hp // tile, wp // tile, tile, tile) + c_shape)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape((hp, wp) + c_shape)[:h, :w]
+
+
+def _to_tile_order(img, tile: int = PACKET_TILE):
+    """(h, w, C...) image -> (N', C...) tile-order stream (edge-clamp pad
+    reproduces _tile_order's clamped duplicate pixels exactly)."""
+    h, w = img.shape[0], img.shape[1]
+    hp = -(-h // tile) * tile
+    wp = -(-w // tile) * tile
+    if hp != h or wp != w:
+        pad_width = ((0, hp - h), (0, wp - w)) + ((0, 0),) * (img.ndim - 2)
+        img = jnp.pad(img, pad_width, mode="edge")
+    x = img.reshape((hp // tile, tile, wp // tile, tile) + img.shape[2:])
+    x = jnp.moveaxis(x, 1, 2)
+    return x.reshape((hp * wp,) + img.shape[2:])
 
 
 def trace(
@@ -1041,36 +1099,40 @@ def trace(
     w, h = resolution
     if full_resolution is None:
         full_resolution = resolution
-    px_t, py_t, inverse = _tile_order(w, h)
+    px_t, py_t, valid_t = _tile_order(w, h)
     px = jnp.asarray(px_t) + pixel_offset[0]
     py = jnp.asarray(py_t) + pixel_offset[1]
+    valid = jnp.asarray(valid_t)
     n = px.shape[0]
 
     if n <= RAY_CHUNK:
         color, stats = _trace_rays(
-            scene, meta, settings, params, clip_to_world, full_resolution, seed, px, py
+            scene, meta, settings, params, clip_to_world, full_resolution, seed,
+            px, py, valid,
         )
-        color = color[jnp.asarray(inverse)]
+        color = _from_tile_order(color, w, h)
         if with_stats:
-            return color.reshape(h, w, 3), stats
-        return color.reshape(h, w, 3)
+            return color, stats
+        return color
 
     n_chunks = -(-n // RAY_CHUNK)
     pad = n_chunks * RAY_CHUNK - n
     px_p = jnp.concatenate([px, jnp.zeros(pad, px.dtype)]).reshape(n_chunks, RAY_CHUNK)
     py_p = jnp.concatenate([py, jnp.zeros(pad, py.dtype)]).reshape(n_chunks, RAY_CHUNK)
+    va_p = jnp.concatenate([valid, jnp.zeros(pad, bool)]).reshape(n_chunks, RAY_CHUNK)
 
     def chunk_fn(args):
-        cpx, cpy = args
+        cpx, cpy, cva = args
         return _trace_rays(
-            scene, meta, settings, params, clip_to_world, full_resolution, seed, cpx, cpy
+            scene, meta, settings, params, clip_to_world, full_resolution, seed,
+            cpx, cpy, cva,
         )
 
-    colors, stats = jax.lax.map(chunk_fn, (px_p, py_p))
-    color = colors.reshape(-1, 3)[:n][jnp.asarray(inverse)]
+    colors, stats = jax.lax.map(chunk_fn, (px_p, py_p, va_p))
+    color = _from_tile_order(colors.reshape(-1, 3)[:n], w, h)
     if with_stats:
-        return color.reshape(h, w, 3), jnp.sum(stats, 0)
-    return color.reshape(h, w, 3)
+        return color, jnp.sum(stats, 0)
+    return color
 
 
 _trace_rays_jit = None
@@ -1097,22 +1159,23 @@ def trace_chunked(
     if _trace_rays_jit is None:
         _trace_rays_jit = jax.jit(_trace_rays, static_argnums=(1, 2, 5))
     w, h = resolution
-    px_f, py_f, inverse = _tile_order(w, h)
+    px_f, py_f, valid_f = _tile_order(w, h)
     n = px_f.shape[0]
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     px_p = np.concatenate([px_f, np.zeros(pad, px_f.dtype)]).reshape(n_chunks, chunk)
     py_p = np.concatenate([py_f, np.zeros(pad, py_f.dtype)]).reshape(n_chunks, chunk)
+    va_p = np.concatenate([valid_f, np.zeros(pad, bool)]).reshape(n_chunks, chunk)
     outs = []
     rays_total = []
     for c in range(n_chunks):
         col, rays = _trace_rays_jit(
             scene, meta, settings, params, clip_to_world, (w, h), seed,
-            jnp.asarray(px_p[c]), jnp.asarray(py_p[c]),
+            jnp.asarray(px_p[c]), jnp.asarray(py_p[c]), jnp.asarray(va_p[c]),
         )
         outs.append(col)
         rays_total.append(rays)
-    color = jnp.concatenate(outs, 0)[:n][jnp.asarray(inverse)].reshape(h, w, 3)
+    color = _from_tile_order(jnp.concatenate(outs, 0)[:n], w, h)
     if with_stats:
         # Each per-chunk stats vector is [ray_count, nan_count].
         return color, jnp.sum(jnp.stack(rays_total), 0)
@@ -1129,6 +1192,8 @@ def _trace_rays(
     seed,
     px,
     py,
+    valid=None,  # (R,) bool: False lanes (tile/chunk padding) trace DEAD —
+    # no work beyond lane occupancy, no stats contribution
 ):
     """Trace a flat batch of pixel rays -> ((R, 3) color, ray count)."""
     n_rays = px.shape[0]
@@ -1155,7 +1220,7 @@ def _trace_rays(
     radiance = jnp.zeros((n_rays, 3), jnp.float32)
     prefix = jnp.ones((n_rays, 3), jnp.float32)      # prod of post-RR weights
     rr_state = jnp.ones((n_rays, 3), jnp.float32)    # reference payload.throughput
-    alive = jnp.ones(n_rays, bool)
+    alive = jnp.ones(n_rays, bool) if valid is None else valid.astype(bool)
     prev_pdf = jnp.zeros(n_rays, jnp.float32)
     prev_mis = jnp.zeros(n_rays, bool)
 

@@ -389,15 +389,14 @@ def render(
     ~2.1 s to interactive.
     """
     from gltf_renderer_tpu.render.pathtracer import (
-        RAY_CHUNK, _tile_order, closest_hit,
+        RAY_CHUNK, _from_tile_order, _tile_order, _to_tile_order, closest_hit,
     )
 
     w, h = resolution
-    px_t, py_t, inverse = _tile_order(w, h)
+    px_t, py_t, _valid_t = _tile_order(w, h)
     px = jnp.asarray(px_t)
     py = jnp.asarray(py_t)
     n = px.shape[0]
-    inverse = jnp.asarray(inverse)
 
     env_intensity = params.environment_intensity
     use_env = meta.has_env
@@ -419,10 +418,11 @@ def render(
         )
         # Exclude blended/transmissive triangles from the opaque buffer and
         # reconstruct ray t so the blend pass can composite against depth.
-        flat = py_t.astype(np.int64) * w + px_t  # tile order <- image order
-        tri_flat = tri_b.reshape(-1)[flat]
-        u_flat = u_b.reshape(-1)[flat]
-        v_flat = v_b.reshape(-1)[flat]
+        # Image -> tile-order stream is a pure reshape/transpose (the old
+        # permutation gather cost ~19 ms per 2M-pixel channel on TPU).
+        tri_flat = _to_tile_order(tri_b)
+        u_flat = _to_tile_order(u_b)
+        v_flat = _to_tile_order(v_b)
         tri_c = jnp.clip(tri_flat, 0, None)
         is_blend = (
             (scene.world.tri_alpha_mode[tri_c] == T.ALPHA_MODE_BLEND)
@@ -444,9 +444,9 @@ def render(
             # ONE tri-major row gather for all three vertex positions
             # (gather cost is row-count bound, tools/bench_rowwidth).
             row = scene.world.tri_attr_rows[jnp.clip(ctri, 0, None)]
-            p0 = row[:, 0:3]
-            p1 = row[:, 20:23]
-            p2 = row[:, 40:43]
+            p0 = row[:, 0:3].astype(jnp.float32)
+            p1 = row[:, 20:23].astype(jnp.float32)
+            p2 = row[:, 40:43].astype(jnp.float32)
             wpos = (1.0 - cu - cv)[:, None] * p0 + cu[:, None] * p1 + cv[:, None] * p2
             dist = jnp.linalg.norm(wpos - origin, axis=-1)
             hit = bvh_ops.Hit(
@@ -479,7 +479,7 @@ def render(
 
     arrays = (px, py) + (tiled_hit if tiled_hit is not None else ())
     lit_f, opaque_t, tri_f, u_f, v_f = _map_chunks(opaque_chunk, arrays, n, RAY_CHUNK)
-    lit = lit_f[inverse].reshape(h, w, 3)
+    lit = _from_tile_order(lit_f, w, h)
 
     # --- Transmission backdrop mips + blended/transmissive layers, chunked.
     if meta.has_blend:
@@ -522,15 +522,15 @@ def render(
         (lit_f2,) = _map_chunks(
             blend_chunk, (px, py, opaque_t, lit_f), n, RAY_CHUNK
         )
-        lit = lit_f2[inverse].reshape(h, w, 3)
+        lit = _from_tile_order(lit_f2, w, h)
 
     if with_motion:
         prev_c2w = prev_world_to_clip
         if prev_c2w is None:
             prev_c2w = jnp.linalg.inv(clip_to_world)
         hit_full = bvh_ops.Hit(t=opaque_t, tri=tri_f, u=u_f, v=v_f)
-        mv = motion_vectors(
+        mv = _from_tile_order(motion_vectors(
             scene.world, hit_full, px, py, prev_c2w, prev_position, (w, h)
-        )[inverse].reshape(h, w, 2)
+        ), w, h)
         return lit, mv
     return lit

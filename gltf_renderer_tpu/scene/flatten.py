@@ -9,6 +9,7 @@ maps (InstancePlan); each frame is then pure vectorized gathers + one batched
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, NamedTuple, Optional
 
 import numpy as np
@@ -302,6 +303,20 @@ def build_world_geometry(
         ],
         axis=1,
     )
+    if os.environ.get("GLTF_TPU_BF16ROWS", "0") == "1":
+        # A/B probe: bf16 hit-attribute table (half the HBM bytes/cache
+        # footprint; gathers are row-count bound so width is free, but the
+        # quad-atlas experiment showed TABLE size matters at Sponza scale).
+        # material/fbits ride as plain bf16 integers (exact to 256).
+        tri_attr_rows = jnp.concatenate(
+            [
+                tri_attr_rows[:, 0:60].astype(jnp.bfloat16),
+                plan.tri_material.astype(jnp.bfloat16)[:, None],
+                flagbits.astype(jnp.bfloat16)[:, None],
+                jnp.zeros((tv.shape[0], 2), jnp.bfloat16),
+            ],
+            axis=1,
+        )
     return WorldGeometry(
         position=wpos,
         normal=wnrm,
