@@ -61,15 +61,28 @@ def _raster_step(ptscene, meta, settings, params, c2w, cam_pos, resolution, fram
         )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1,))
+def _bloom_step(hdr, bloom_settings):
+    with jax.named_scope("bloom"):
+        return bloom_op(hdr, bloom_settings.max_mips, bloom_settings.strength)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _tone_step(img, tm_settings: S.ToneMapSettings, frame):
+    with jax.named_scope("tone_map"):
+        return to_u8(tonemap(img, tm_settings.tonemapper, tm_settings.exposure, frame))
+
+
 def _post_step(hdr, tm_settings: S.ToneMapSettings, bloom_settings, frame):
+    """Bloom + tonemap + u8 as TWO dispatches, deliberately NOT one graph:
+    fused, XLA's layout assignment lets the tonemapper's 3x3 channel dots
+    force channel-minor layouts back into the bloom pyramid (dim 3 tiles to
+    128 lanes -> ~42x HBM amplification; measured 184 ms/frame at 1080p vs
+    ~5 ms split — docs/PERFORMANCE.md)."""
     img = hdr
     if bloom_settings is not None and bloom_settings.enabled:
-        with jax.named_scope("bloom"):
-            img = bloom_op(img, bloom_settings.max_mips, bloom_settings.strength)
-    with jax.named_scope("tone_map"):
-        disp = tonemap(img, tm_settings.tonemapper, tm_settings.exposure, frame)
-    return to_u8(disp)
+        img = _bloom_step(hdr, bloom_settings)
+    return _tone_step(img, tm_settings, frame)
 
 
 class Renderer:
