@@ -210,6 +210,60 @@ def build_cube_mips(cube0) -> List[Any]:
     return mips
 
 
+def _mip_axis_filter(img, axis: int):
+    """One separable pass of GenerateMipLevel.cs.hlsl along `axis`.
+
+    Per-axis kernel (GenerateMipLevel.cs.hlsl:55): input size 1 -> passthrough
+    of index 2p+1... (case 1 reads input_texture[pixel + 1]: with size-1 input
+    the only in-range read is index 0 after wrap — we pass through); even ->
+    2-tap box; odd -> 3-tap trapezoid with weights ((n-x)/(2n+1), n/(2n+1),
+    (1+x)/(2n+1)) where x is the output index and n the output size
+    (TrapezoidFilter, GenerateMipLevel.cs.hlsl:15-21), taps at 2x, 2x+1 and
+    Wrap(2x+2) (the shader wraps instead of clamping — its own TODO)."""
+    n_in = img.shape[axis]
+    if n_in == 1:
+        return img
+    img_m = jnp.moveaxis(img, axis, 0)
+    if n_in % 2 == 0:
+        out = 0.5 * (img_m[0::2] + img_m[1::2])
+    else:
+        n_out = n_in // 2
+        x = jnp.arange(n_out, dtype=jnp.float32).reshape(
+            (n_out,) + (1,) * (img_m.ndim - 1)
+        )
+        n = jnp.float32(n_out)
+        s0 = img_m[0 : 2 * n_out : 2]
+        s1 = img_m[1 : 2 * n_out + 1 : 2]
+        # Wrap(2x+2, n_in): only the last output's third tap wraps to 0.
+        idx2 = (np.arange(n_out) * 2 + 2) % n_in
+        s2 = img_m[jnp.asarray(idx2)]
+        out = (
+            (n - x) * s0 + n * s1 + (1.0 + x) * s2
+        ) / (2.0 * n + 1.0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def generate_mip_level(img):
+    """GenerateMipLevel.cs.hlsl: one NPOT-correct mip step of an (H, W, C)
+    image — separable trapezoid (odd axis) / box (even axis) filter. The
+    reference compiles this shader but never dispatches it (no call site in
+    Source/*.cpp); ported for NPOT texture mip chains."""
+    return _mip_axis_filter(_mip_axis_filter(img, 0), 1)
+
+
+def build_image_mips(img, min_size: int = 1) -> List[Any]:
+    """Full NPOT mip chain of an (H, W, C) image via generate_mip_level."""
+    mips = [img]
+    while max(mips[-1].shape[0], mips[-1].shape[1]) > min_size and (
+        mips[-1].shape[0] > 1 or mips[-1].shape[1] > 1
+    ):
+        nxt = generate_mip_level(mips[-1])
+        if nxt.shape == mips[-1].shape:
+            break
+        mips.append(nxt)
+    return mips
+
+
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
 def _filter_cube_level(cube_mips, size, a, num_samples, mip_bias, bsdf_ggx: bool):
     """One output mip of FilterEnvironmentCubeMap.cs.hlsl (filtered importance

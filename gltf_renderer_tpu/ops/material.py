@@ -77,13 +77,20 @@ def compact_material_rows(rows, used_slots, tex_rows=None):
 
 
 def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
-                       compact=False):
+                       compact=False, mip_base=None):
     """Sample several texture slots with TWO gathers total.
 
     Replaces per-slot sampling (1 metadata + 4 texel gathers per slot): all
     slots share one (k*R, 9) metadata row gather and one (4*k*R, 4) atlas
     texel gather. Per-gather fixed cost dominates on TPU (docs/PERFORMANCE.md),
     so this is ~5x fewer gather ops per used slot.
+
+    mip_base: optional (R,) f32 log2 of the sampling footprint in NORMALIZED
+    uv units (pre texture-transform). When given and the scene carries a mip
+    pyramid (build_atlas_mips), slots sample TRILINEARLY at level
+    mip_base + 0.5*log2(w*h) + 0.5*log2(|sx*sy|) — the raster backend's
+    Forward.ps.hlsl mip-sampling analogue. None = SampleLevel 0 (the path
+    tracer's Material.hlsli:95 parity quirk), bit-identical to before.
 
     Returns {slot: (rgba (R, 4), present (R,) bool)}.
     """
@@ -154,6 +161,68 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     y0 = jnp.where(is_near, ny, y0)
     tx = jnp.where(is_near[..., None], 0.0, tx)
     ty = jnp.where(is_near[..., None], 0.0, ty)
+
+    if mip_base is not None and getattr(textures, "mip_flat", None) is not None:
+        # Trilinear mip path: per-slot level, TWO (k*R)-row mip-metadata
+        # gathers + ONE (8*k*R)-row texel gather from the flat pyramid.
+        n_tex = textures.x.shape[0]
+        maxl = textures.mip_rows.shape[0] // max(n_tex, 1)
+        area = jnp.maximum(wf * hf, 1.0)
+        suv = jnp.maximum(jnp.abs(scl[..., 0] * scl[..., 1]), 1e-12)
+        lvl = mip_base[None] + 0.5 * jnp.log2(area) + 0.5 * jnp.log2(suv)
+        lvl = jnp.clip(lvl, 0.0, maxl - 1.0)
+        lvl = jnp.where(nearest == 1, 0.0, lvl)
+        l0 = jnp.floor(lvl).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, maxl - 1)
+        lfrac = (lvl - l0.astype(jnp.float32))[..., None]
+        tid_c = jnp.clip(tid, 0, max(n_tex - 1, 0))
+
+        def level_corners(li):
+            mrow = textures.mip_rows[(tid_c * maxl + li).reshape(-1)].reshape(
+                tid.shape + (-1,)
+            )
+            base_i = mrow[..., 0].astype(jnp.int32)
+            lw = mrow[..., 1].astype(jnp.int32)
+            lh = mrow[..., 2].astype(jnp.int32)
+            lwf = mrow[..., 1]
+            lhf = mrow[..., 2]
+            fxl = uv[..., 0] * lwf - 0.5
+            fyl = uv[..., 1] * lhf - 0.5
+            x0l = jnp.floor(fxl).astype(jnp.int32)
+            y0l = jnp.floor(fyl).astype(jnp.int32)
+            txl = (fxl - x0l)[..., None]
+            tyl = (fyl - y0l)[..., None]
+            x0l = jnp.where(is_near, jnp.floor(uv[..., 0] * lwf).astype(jnp.int32), x0l)
+            y0l = jnp.where(is_near, jnp.floor(uv[..., 1] * lhf).astype(jnp.int32), y0l)
+            txl = jnp.where(is_near[..., None], 0.0, txl)
+            tyl = jnp.where(is_near[..., None], 0.0, tyl)
+
+            def fi(xi, yi):
+                xi = wrap(xi, lw, ws)
+                yi = wrap(yi, lh, wt)
+                return base_i + yi * lw + xi
+
+            ids = jnp.stack([fi(x0l, y0l), fi(x0l + 1, y0l),
+                             fi(x0l, y0l + 1), fi(x0l + 1, y0l + 1)])
+            return ids, txl, tyl
+
+        ids0, tx0, ty0 = level_corners(l0)
+        ids1, tx1, ty1 = level_corners(l1)
+        ids = jnp.concatenate([ids0, ids1])                       # (8, k, R)
+        m = textures.mip_flat.shape[0]
+        ids = jnp.clip(ids, 0, max(m - 1, 0))
+        texel = textures.mip_flat[ids.reshape(-1)].reshape(
+            ids.shape + (-1,)
+        ).astype(jnp.float32)                                     # 1 gather
+
+        def bil(c, tx_, ty_):
+            return (c[0] * (1 - tx_) + c[1] * tx_) * (1 - ty_) + (
+                c[2] * (1 - tx_) + c[3] * tx_) * ty_
+
+        out = bil(texel[0:4], tx0, ty0) * (1 - lfrac) + bil(
+            texel[4:8], tx1, ty1) * lfrac
+        out = jnp.where(present[..., None], out, 1.0)
+        return {s: (out[i], present[i]) for i, s in enumerate(slots)}
 
     ah, aw = textures.atlas.shape[0], textures.atlas.shape[1]
 
@@ -392,16 +461,18 @@ def get_surface_properties(
     shading_normal_adaptation: bool = True,
     used_slots: Tuple[int, ...] = ALL_SLOTS,
     rows_compact: bool = False,
+    mip_base=None,
 ):
     """Returns (SurfaceProperties, SurfaceExtras).
 
     One material-row gather + ONE fused metadata gather + ONE fused atlas
-    gather across every used texture slot (sample_slots_fused)."""
+    gather across every used texture slot (sample_slots_fused). mip_base:
+    optional (R,) log2 uv footprint for trilinear mip sampling (raster)."""
     row = materials.rows[mat_id]
 
     active = tuple(s for s in used_slots if s in ALL_SLOTS)
     tex = sample_slots_fused(row, textures, active, uv0, uv1, used_slots,
-                             rows_compact)
+                             rows_compact, mip_base=mip_base)
     ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
     no = jnp.zeros(uv0.shape[:-1], bool)
 

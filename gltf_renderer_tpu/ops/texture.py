@@ -103,6 +103,64 @@ def build_atlas_quad(tex: TextureTable) -> TextureTable:
     return tex._replace(atlas_quad=q.reshape(-1, 16).astype(np.float16))
 
 
+def build_atlas_mips(tex: TextureTable) -> TextureTable:
+    """Bake every texture's full NPOT mip chain into one flat (M, 4) f16
+    array + (T * MAXL, 4) addressing rows (host numpy, once per scene).
+
+    Level 0 is each texture's linear rect (so mip sampling never touches the
+    base atlas); deeper levels use the separable trapezoid/box filter of
+    GenerateMipLevel.cs.hlsl (env.generate_mip_level — the reference compiles
+    that shader for exactly this purpose but never dispatches it). Textures
+    whose chain ends early repeat their last level so the row table is
+    rectangular and sampling is branch-free.
+    """
+    import numpy as np
+
+    from gltf_renderer_tpu.env.environment import generate_mip_level
+
+    if tex.atlas_linear is None:
+        return tex
+    lin = np.asarray(tex.atlas_linear)
+    if lin.size == 0:
+        return tex
+    ah, aw = np.asarray(tex.atlas).shape[0], np.asarray(tex.atlas).shape[1]
+    img = lin.reshape(ah, aw, 4).astype(np.float32)
+    xs, ys = np.asarray(tex.x), np.asarray(tex.y)
+    ws, hs = np.asarray(tex.width), np.asarray(tex.height)
+    t = len(xs)
+    chains = []
+    maxl = 1
+    for i in range(t):
+        x, y, w, h = int(xs[i]), int(ys[i]), int(ws[i]), int(hs[i])
+        chain = [img[y : y + h, x : x + w]]
+        while chain[-1].shape[0] > 1 or chain[-1].shape[1] > 1:
+            nxt = np.asarray(generate_mip_level(chain[-1]), np.float32)
+            if nxt.shape == chain[-1].shape:
+                break
+            chain.append(nxt)
+        chains.append(chain)
+        maxl = max(maxl, len(chain))
+    flat_parts = []
+    rows = np.zeros((t, maxl, 4), np.float32)
+    base = 0
+    for i, chain in enumerate(chains):
+        for l in range(maxl):
+            lvl = chain[min(l, len(chain) - 1)]
+            if l < len(chain):
+                flat_parts.append(lvl.reshape(-1, 4))
+                lvl_base = base
+                base += lvl.shape[0] * lvl.shape[1]
+            else:  # repeat the last stored level (no duplicate storage)
+                lvl_base = rows[i, len(chain) - 1, 0]
+            rows[i, l] = (lvl_base, lvl.shape[1], lvl.shape[0], 0.0)
+    flat = (np.concatenate(flat_parts, 0) if flat_parts
+            else np.zeros((0, 4), np.float32))
+    return tex._replace(
+        mip_flat=flat.astype(np.float16),
+        mip_rows=rows.reshape(t * maxl, 4),
+    )
+
+
 def transform_uv(uv, rotation, offset, scale):
     """KHR_texture_transform (Material.hlsli TransformUv:68-88):
     uv' = translate(offset) * rot(rotation) * scale applied to (u, v, 1)."""

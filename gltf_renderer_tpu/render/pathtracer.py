@@ -336,6 +336,12 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         # default; GLTF_TPU_QUAD=1 re-enables for experiments.
         if os.environ.get("GLTF_TPU_QUAD", "0") == "1":
             textures = build_atlas_quad(textures)
+        # NPOT mip pyramid for the raster backend's trilinear sampling
+        # (Forward.ps.hlsl derivative mips; the PT ignores it — SampleLevel-0
+        # parity). ~1.33x the linear atlas in f16.
+        from gltf_renderer_tpu.ops.texture import build_atlas_mips
+
+        textures = build_atlas_mips(textures)
     textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
     # texture metadata joined in: per-hit shading needs ONE material-row
@@ -450,6 +456,8 @@ class HitAttributes(NamedTuple):
     uv1: Any
     material: Any           # (R,) i32
     back_face: Any          # (R,) bool
+    uv_area_ratio: Any = None  # (R,) sqrt(uv0 area / world area) — only when
+    # fetch_hit_attributes(with_footprint=True) (raster mip selection)
 
 
 def _generate_tangent(normal):
@@ -493,9 +501,14 @@ def _gather_tri_vertices(world: WorldGeometry, tri):
     return (material, fbits), r0, r1, r2
 
 
-def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttributes:
+def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir,
+                         with_footprint: bool = False) -> HitAttributes:
     """GetVertexAttributes port on packed rows: 1 tri-row + 1 fused vertex-row
-    gather (PathTracer.lib.hlsl:280-302)."""
+    gather (PathTracer.lib.hlsl:280-302).
+
+    with_footprint: also compute uv_area_ratio = sqrt(uv0 area / world area)
+    per triangle (texels-per-meter factor for raster mip selection; the PT
+    never asks — SampleLevel-0 parity)."""
     from gltf_renderer_tpu.scene.flatten import (
         TRI_HAS_COLOR, TRI_HAS_TS, TRI_HAS_UV0, TRI_HAS_UV1,
     )
@@ -535,6 +548,13 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
     uv0 = jnp.where(has_uv0, w0 * r0[:, 10:12] + w1 * r1[:, 10:12] + w2 * r2[:, 10:12], 0.0)
     has_uv1 = ((fbits & TRI_HAS_UV1) != 0)[..., None]
     uv1 = jnp.where(has_uv1, w0 * r0[:, 12:14] + w1 * r1[:, 12:14] + w2 * r2[:, 12:14], 0.0)
+    uv_area_ratio = None
+    if with_footprint:
+        ue1 = r1[:, 10:12] - r0[:, 10:12]
+        ue2 = r2[:, 10:12] - r0[:, 10:12]
+        uv_cross = jnp.abs(ue1[:, 0] * ue2[:, 1] - ue1[:, 1] * ue2[:, 0])
+        w_cross = jnp.linalg.norm(gn_raw, axis=-1)
+        uv_area_ratio = jnp.sqrt(uv_cross / jnp.maximum(w_cross, 1e-20))
     return HitAttributes(
         position=pos,
         geometric_normal=gn,
@@ -546,6 +566,7 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir) -> HitAttribu
         uv1=uv1,
         material=material,
         back_face=back,
+        uv_area_ratio=uv_area_ratio,
     )
 
 

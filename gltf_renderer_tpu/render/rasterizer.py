@@ -124,12 +124,27 @@ def shade_forward(
     transmission_mips=None,
     use_env: bool = True,
     use_lights: bool = True,
+    mip_scale=None,
 ):
     """Forward.ps.hlsl main port, vectorized over pixels with valid hits.
 
     Returns (rgb, alpha) — alpha is base_color.a (Forward.ps.hlsl:296).
+
+    mip_scale: optional (R,) world-space footprint of the pixel at the hit
+    (t * angular pixel spread). With a scene mip pyramid (build_atlas_mips)
+    textures sample trilinearly at the ray-differential level — the raster
+    analogue of Forward.ps.hlsl's derivative-based Sample (the PT keeps
+    SampleLevel 0, Material.hlsli:95).
     """
-    attrs = fetch_hit_attributes(scene.world, hit.tri, hit.u, hit.v, direction)
+    use_mips = mip_scale is not None and getattr(
+        scene.textures, "mip_flat", None) is not None
+    attrs = fetch_hit_attributes(scene.world, hit.tri, hit.u, hit.v, direction,
+                                 with_footprint=use_mips)
+    mip_base = None
+    if use_mips:
+        cos_i = jnp.abs(dot(attrs.geometric_normal, direction, keepdims=False))
+        fp = mip_scale * attrs.uv_area_ratio / jnp.sqrt(jnp.maximum(cos_i, 1e-2))
+        mip_base = jnp.log2(jnp.maximum(fp, 1e-20))
     view = -direction
     sp, extras = get_surface_properties(
         scene.materials,
@@ -146,6 +161,10 @@ def shade_forward(
         use_geometric_normals=False,
         shading_normal_adaptation=False,  # raster path has no adaptation
         used_slots=meta.used_slots,
+        rows_compact=True,  # PTScene rows ARE compact (make_pt_scene);
+        # reading them with full-row offsets mis-addressed every slot past
+        # the first (fixed round 3 — was silently wrong on multi-slot scenes)
+        mip_base=mip_base,
     )
 
     lighting = extras.emissive
@@ -401,6 +420,20 @@ def render(
     env_intensity = params.environment_intensity
     use_env = meta.has_env
 
+    # Per-pixel angular spread (camera rays are affine in pixel coords):
+    # |raw(px+1)-raw(px)| in far-plane units; at a hit the world footprint is
+    # t * s0 / |raw| (used for texture mip selection when the scene carries
+    # a mip pyramid).
+    has_mips = getattr(scene.textures, "mip_flat", None) is not None
+    if has_mips:
+        _o3, raw3 = generate_camera_rays(
+            jnp.asarray([0, 1, 0], jnp.int32), jnp.asarray([0, 0, 1], jnp.int32),
+            (w, h), clip_to_world, jnp.zeros((3, 2), jnp.float32),
+        )
+        s0 = jnp.sqrt(
+            jnp.linalg.norm(raw3[1] - raw3[0]) * jnp.linalg.norm(raw3[2] - raw3[0])
+        )
+
     tiled_hit = None
     if visibility == "tiled":
         from gltf_renderer_tpu.ops import pallas_raster as _pr
@@ -461,9 +494,14 @@ def render(
             hit = _alpha_retry_raster(scene, meta, hit, origin, direction, t_max)
 
         valid = hit.tri >= 0
+        mip_scale = (
+            jnp.maximum(hit.t, 0.0) * s0 / jnp.maximum(t_max, 1e-20)
+            if has_mips else None
+        )
         rgb, _alpha, _cut, _mode = shade_forward(
             scene, meta, hit, origin, direction, camera_pos, env_intensity,
             screen_uv, transmission_mips=None, use_env=use_env, use_lights=True,
+            mip_scale=mip_scale,
         )
         # Background (Background.ps.hlsl: env cube at ray direction).
         if use_env:
@@ -502,10 +540,14 @@ def render(
                     jnp.minimum(c_opaque_t, t_max), blend_mode=bvh_ops.BLEND_ONLY,
                 )
                 ok = bh.tri >= 0
+                b_mip = (
+                    jnp.maximum(bh.t, 0.0) * s0 / jnp.maximum(t_max, 1e-20)
+                    if has_mips else None
+                )
                 srgb, sa, scut, smode = shade_forward(
                     scene, meta, bh, origin, direction, camera_pos, env_intensity,
                     screen_uv, transmission_mips=trans_mips, use_env=use_env,
-                    use_lights=True,
+                    use_lights=True, mip_scale=b_mip,
                 )
                 # BLEND uses base alpha; transmissive OPAQUE surfaces
                 # composite with alpha 1 (color already has the backdrop).

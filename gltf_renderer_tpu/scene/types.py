@@ -203,6 +203,15 @@ class TextureTable(NamedTuple):
     # instead of a 4*k*R-row gather; gather cost is row-count bound
     # (tools/bench_rowwidth). None when the scene uses mirror wrap (backward
     # neighbors on flipped replicas aren't baked) or the atlas is huge.
+    # --- Mip pyramid (raster backend; Forward.ps.hlsl samples with mips,
+    # the PT keeps the reference's SampleLevel-0 quirk, Material.hlsli:95).
+    mip_flat: Any = None  # (M, 4) f16 linear texels of EVERY texture's full
+    # NPOT mip chain (level 0 included), each level stored row-major inside
+    # its own slab (build_atlas_mips; filter = generate_mip_level trapezoid).
+    mip_rows: Any = None  # (T * MAXL, 4) f32: [flat_base, level_w, level_h,
+    # pad]; flat index = flat_base + y * level_w + x. Levels past a
+    # texture's chain repeat its last (1x1) level, so sampling never needs
+    # a per-texture level count. MAXL = mip_rows.shape[0] // T (static).
 
 
 class GeometryPools(NamedTuple):
