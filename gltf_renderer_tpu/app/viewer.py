@@ -34,6 +34,7 @@ import argparse
 import io
 import json
 import logging
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -186,6 +187,15 @@ img.addEventListener('wheel', e => {
   fetch('/input', {method:'POST', body: JSON.stringify(
     {type:'dolly', amount: e.deltaY})});
 }, {passive: false});
+// Drag-drop of .gltf/.glb/.exr/.hdr (Main.cpp:367-406 SDL drop events).
+window.addEventListener('dragover', e => { e.preventDefault(); });
+window.addEventListener('drop', e => {
+  e.preventDefault();
+  const f = e.dataTransfer && e.dataTransfer.files && e.dataTransfer.files[0];
+  if (!f) return;
+  fetch('/upload?name=' + encodeURIComponent(f.name),
+        {method:'POST', body: f});
+});
 </script></body></html>"""
 
 
@@ -361,9 +371,16 @@ def _apply_inputs(state: ViewerState, evs) -> bool:
             except (IndexError, ValueError) as e:
                 logging.error("camera select failed: %s", e)
         elif t == "load":
+            # Load-by-path AND the drag-drop upload path (Main.cpp:367-406
+            # drop semantics: .gltf/.glb replace the scene, .exr/.hdr the
+            # environment).
             try:
-                state.renderer.load_scene(str(ev.get("path", "")))
-                state.scene_path = str(ev.get("path", ""))
+                p = str(ev.get("path", ""))
+                if p.lower().endswith((".exr", ".hdr")):
+                    state.renderer.load_environment(p)
+                else:
+                    state.renderer.load_scene(p)
+                    state.scene_path = p
                 moved = True
             except Exception as e:  # drag-drop of a bad file must not kill the loop
                 logging.error("load failed: %s", e)
@@ -440,10 +457,38 @@ def make_handler(state: ViewerState):
                 self._send(404, b"", "text/plain")
 
         def do_POST(self):
-            if self.path.split("?")[0] != "/input":
+            path = self.path.split("?")[0]
+            n = int(self.headers.get("Content-Length", 0))
+            if path == "/upload":
+                # Drag-drop upload (SDL_EVENT_DROP_FILE analogue,
+                # Main.cpp:367-406): raw file body + ?name=<filename>.
+                # Saved to a session temp dir, then queued as a load event.
+                import tempfile
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                name = os.path.basename(q.get("name", ["dropped.glb"])[0])
+                ext = os.path.splitext(name)[1].lower()
+                if ext not in (".gltf", ".glb", ".exr", ".hdr"):
+                    self._send(415, b"unsupported file type", "text/plain")
+                    return
+                if not hasattr(state, "_upload_dir"):
+                    state._upload_dir = tempfile.mkdtemp(prefix="gltf_upload_")
+                dst = os.path.join(state._upload_dir, name)
+                with open(dst, "wb") as f:
+                    remaining = n
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                        remaining -= len(chunk)
+                state.post_input({"type": "load", "path": dst})
+                self._send(200, b"ok", "text/plain")
+                return
+            if path != "/input":
                 self._send(404, b"", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
             try:
                 ev = json.loads(self.rfile.read(n) or b"{}")
             except ValueError:

@@ -2,6 +2,7 @@
 
 import json
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -145,6 +146,57 @@ def test_viewer_graphics_tab(tmp_path):
         # Page advertises the panel.
         page = urllib.request.urlopen(base + "/", timeout=5).read()
         assert b"Graphics" in page and b"Debug Output" in page
+    finally:
+        state.running = False
+        server.shutdown()
+
+
+def test_viewer_drag_drop_upload(tmp_path):
+    """Drag-drop parity (Main.cpp:367-406): POST /upload with raw file bytes
+    replaces the scene (.gltf/.glb) and rejects unsupported extensions."""
+    from gltf_renderer_tpu.app import viewer
+    path = str(tmp_path / "box.gltf")
+    write_box_gltf(path)
+    server, state, thread = viewer.serve(
+        path, width=48, height=24, port=0, block=False
+    )
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        # Wait until the render loop is alive.
+        deadline = time.time() + 120
+        while time.time() < deadline and state.frame_seq == 0:
+            time.sleep(0.2)
+        assert state.frame_seq > 0
+
+        # Upload a different scene as raw bytes (the browser drop handler).
+        other = str(tmp_path / "other.gltf")
+        write_box_gltf(other, base_color=(0.1, 0.9, 0.1, 1.0))
+        body = open(other, "rb").read()
+        req = urllib.request.Request(
+            base + "/upload?name=dropped.gltf", data=body, method="POST"
+        )
+        assert urllib.request.urlopen(req, timeout=5).read() == b"ok"
+        deadline = time.time() + 90
+        while time.time() < deadline and "dropped.gltf" not in state.scene_path:
+            time.sleep(0.2)
+        assert "dropped.gltf" in state.scene_path
+        assert state.renderer.scene is not None
+
+        # Unsupported extension -> 415, scene unchanged.
+        req = urllib.request.Request(
+            base + "/upload?name=evil.exe", data=b"xx", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            assert False, "expected HTTP 415"
+        except urllib.error.HTTPError as e:
+            assert e.code == 415
+
+        # Page wires the drop handler.
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"drop" in page and b"/upload" in page
     finally:
         state.running = False
         server.shutdown()
