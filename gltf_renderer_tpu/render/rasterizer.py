@@ -66,28 +66,38 @@ def _bilinear_2d(img, uv):
     ) * ty
 
 
-def _jimenez_13tap(img, out_h, out_w):
-    """CoD: AW 13-tap downsample (TransmissionDownsample.cs.hlsl kernel 2)."""
-    from gltf_renderer_tpu.post.bloom import _bilinear, _uv_grid
+def _jimenez_conv_kernel():
+    """The 13-tap kernel at the exact 2x ratio as ONE 6x6 stride-2 conv
+    kernel: every tap lands on a texel pair, so each of the 13 bilinear taps
+    is a 2x2 box at a fixed integer shift (center + 4 inner at ±1 diag
+    weight 1/8, 4 edges at ±2 weight 1/16, 4 corners at ±2 diag 1/32)."""
+    import numpy as np
 
-    uu, vv = _uv_grid(out_h, out_w)
-    du, dv = 1.0 / out_w, 1.0 / out_h
-    hx, hy = 0.5 * du, 0.5 * dv
-    # 4 inner taps (weight 0.5 total), center+corner ring per Jimenez 2014.
-    inner = (
-        _bilinear(img, uu - hx, vv - hy) + _bilinear(img, uu + hx, vv - hy)
-        + _bilinear(img, uu - hx, vv + hy) + _bilinear(img, uu + hx, vv + hy)
-    ) * 0.125
-    centre = _bilinear(img, uu, vv) * 0.125
-    edges = (
-        _bilinear(img, uu - du, vv) + _bilinear(img, uu + du, vv)
-        + _bilinear(img, uu, vv - dv) + _bilinear(img, uu, vv + dv)
-    ) * 0.0625
-    corners = (
-        _bilinear(img, uu - du, vv - dv) + _bilinear(img, uu + du, vv - dv)
-        + _bilinear(img, uu - du, vv + dv) + _bilinear(img, uu + du, vv + dv)
-    ) * 0.03125
-    return inner + centre + edges + corners
+    taps = [((0, 0), 0.125)]
+    taps += [((sy, sx), 0.125) for sy in (-1, 1) for sx in (-1, 1)]
+    taps += [((0, -2), 0.0625), ((0, 2), 0.0625), ((-2, 0), 0.0625), ((2, 0), 0.0625)]
+    taps += [((sy, sx), 0.03125) for sy in (-2, 2) for sx in (-2, 2)]
+    k = np.zeros((6, 6), np.float32)
+    for (sy, sx), w in taps:
+        for a in (0, 1):
+            for b in (0, 1):
+                k[2 + sy + a, 2 + sx + b] += w * 0.25
+    return k
+
+
+def _jimenez_13tap(img, out_h, out_w):
+    """CoD: AW 13-tap downsample (TransmissionDownsample.cs.hlsl kernel 2).
+
+    One 6x6 stride-2 conv on the edge-pad-2 planar crop (shifted-slice /
+    gather formulations pay relayout-class per-op costs on TPU —
+    docs/PERFORMANCE.md). Odd inputs crop to 2*out first (same sub-texel
+    deviation class as the bloom chain, docs/PARITY.md §11)."""
+    from gltf_renderer_tpu.post.bloom import _conv2
+
+    crop = img[: 2 * out_h, : 2 * out_w]
+    pad = jnp.pad(crop, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    out = _conv2(jnp.moveaxis(pad, -1, 0), _jimenez_conv_kernel(), (2, 2))
+    return jnp.moveaxis(out, 0, -1)
 
 
 def build_transmission_mips(lit, n_mips: int = 6, kernel: int = 1):
