@@ -116,10 +116,31 @@ def build_atlas_mips(tex: TextureTable) -> TextureTable:
     """
     import numpy as np
 
-    from gltf_renderer_tpu.env.environment import generate_mip_level
-
     if tex.atlas_linear is None:
         return tex
+
+    def _axis_np(img, axis):
+        """Numpy twin of env.generate_mip_level's per-axis filter (load-time
+        host path: a jit per level per texture costs seconds of compiles)."""
+        n_in = img.shape[axis]
+        if n_in == 1:
+            return img
+        m = np.moveaxis(img, axis, 0)
+        if n_in % 2 == 0:
+            out = 0.5 * (m[0::2] + m[1::2])
+        else:
+            n_out = n_in // 2
+            x = np.arange(n_out, dtype=np.float32).reshape(
+                (n_out,) + (1,) * (m.ndim - 1))
+            n = np.float32(n_out)
+            s0 = m[0 : 2 * n_out : 2]
+            s1 = m[1 : 2 * n_out + 1 : 2]
+            s2 = m[(np.arange(n_out) * 2 + 2) % n_in]
+            out = ((n - x) * s0 + n * s1 + (1.0 + x) * s2) / (2.0 * n + 1.0)
+        return np.moveaxis(out, 0, axis)
+
+    def generate_mip_level(img):
+        return _axis_np(_axis_np(img, 0), 1)
     lin = np.asarray(tex.atlas_linear)
     if lin.size == 0:
         return tex
