@@ -451,6 +451,11 @@ def make_handler(state: ViewerState):
                     "cameras": len(scn.cameras) if scn else 0,
                     "animation_playing": bool(r.player.playing),
                     "animation_time": float(r.player.time),
+                    # Always-on counter plots (Tracy analogue): last frames'
+                    # wall ms + spp, plus the scene memory pool size.
+                    "history": list(r.history)[-60:],
+                    "stats": {k: v for k, v in r.stats.items()
+                              if k != "pass_ms"},
                 }).encode()
                 self._send(200, body, "application/json")
             else:

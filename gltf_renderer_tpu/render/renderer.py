@@ -111,6 +111,11 @@ class Renderer:
         self.frame_index = 0
         self.stats: Dict[str, float] = {}
         self.profile = False  # per-pass ms in stats["pass_ms"] (PIX markers)
+        # Always-on per-frame counter ring (Tracy counter plots analogue).
+        import collections
+
+        self.history = collections.deque(maxlen=240)
+        self._scene_bytes = 0  # device bytes of scene pools (memory pools)
         # glTF camera tracking: when set, the view matrix is re-derived from
         # the camera node's global transform EVERY frame, so cameras riding
         # animated nodes move with the animation (Gltf.cpp:1015-1041 node
@@ -132,6 +137,13 @@ class Renderer:
         self._materials_dev = jax.tree.map(jnp.asarray, scene.materials)
         self._textures_dev = jax.tree.map(jnp.asarray, scene.textures)
         self._dynamic = DynamicMeshState(scene)
+        # Named-memory-pool analogue (GpuAllocator Tracy pools): total device
+        # bytes of the uploaded scene pools, recorded once per load.
+        self._scene_bytes = int(sum(
+            x.nbytes for t in (self._pools_dev, self._materials_dev,
+                               self._textures_dev)
+            for x in jax.tree.leaves(t)
+        ))
         self._ptscene = None
         self._bvh_host = None
         self._accum = None
@@ -305,6 +317,7 @@ class Renderer:
         assert self.scene is not None, "no scene loaded"
         import time as _time
 
+        t_frame = _time.perf_counter()
         st = self.settings
         pass_ms = {}
 
@@ -367,16 +380,29 @@ class Renderer:
 
         img = _timed("post(bloom+tonemap)", _post_step,
                      hdr, st.tonemap, bloom_settings, jnp.uint32(self.frame_index))
+        img_np = np.asarray(img)  # blocks: frame_ms below is true wall time
         self.frame_index += 1
+        frame_ms = round((_time.perf_counter() - t_frame) * 1e3, 3)
         self.stats = {
             "frame": self.frame_index,
+            "frame_ms": frame_ms,
             "accumulated_frames": self.accumulated_frames,
             "backend": st.backend,
             "triangles": int(np.asarray(self._ptscene.world.tri_vertex).shape[0]),
+            "scene_bytes": self._scene_bytes,
         }
         if self.profile:
             self.stats["pass_ms"] = pass_ms
-        return np.asarray(img)
+        # Always-on counter ring (the Tracy counter-plot / named-memory-pool
+        # analogue, Profiling.h:21-43 + Renderer.cpp:372-373): cheap enough
+        # to keep on every frame; viewers/tools read it for live plots.
+        self.history.append({
+            "frame": self.frame_index,
+            "frame_ms": frame_ms,
+            "spp": self.accumulated_frames,
+            "backend": st.backend,
+        })
+        return img_np
 
     def capture_trace(self, log_dir: str):
         """jax.profiler trace capture around frames (the Tracy/PIX timeline

@@ -40,6 +40,9 @@ def test_viewer_serves_frames_and_input(tmp_path):
         st = json.loads(urllib.request.urlopen(base + "/state", timeout=5).read())
         assert st["backend"] == "pathtracer"
         assert st["spp"] >= 1
+        # Always-on counter ring (Tracy counter-plot analogue).
+        assert st["history"] and st["history"][-1]["frame_ms"] > 0
+        assert st["stats"]["scene_bytes"] > 0
 
         # Orbit input moves the camera and resets progressive accumulation
         # (reference CameraController -> accumulation reset semantics).
