@@ -169,3 +169,38 @@ def test_alias_matches_descent_distribution():
 
     ha, hd = hist(uv_a), hist(uv_d)
     assert np.abs(ha - hd).max() < 0.02
+
+
+def test_bf16_attr_rows_match_f32(monkeypatch):
+    """GLTF_TPU_BF16ROWS=1 probe: the bf16 hit-attribute table returns the
+    same materials/flags exactly and attributes to bf16 precision."""
+    from gltf_renderer_tpu.scene.procedural import write_materials_gltf
+    from gltf_renderer_tpu.scene.gltf import load_gltf
+    from gltf_renderer_tpu.scene import flatten as F
+
+    path = write_materials_gltf("/tmp/bf16_zoo.gltf")
+    scene = load_gltf(path)
+    plan = F.build_instance_plan(scene)
+    tf = jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                             (len(scene.nodes), 1, 1)))
+    flags = F.plan_tri_flags(plan, scene.primitives)
+
+    world32 = F.build_world_geometry(scene.pools, plan, tf, tf, flags)
+    monkeypatch.setenv("GLTF_TPU_BF16ROWS", "1")
+    world16 = F.build_world_geometry(scene.pools, plan, tf, tf, flags)
+    assert world16.tri_attr_rows.dtype == jnp.bfloat16
+
+    n = min(512, world32.tri_vertex.shape[0])
+    tri = jnp.arange(n, dtype=jnp.int32)
+    u = jnp.full(n, 0.25)
+    v = jnp.full(n, 0.5)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    a32 = pt.fetch_hit_attributes(world32, tri, u, v, d)
+    a16 = pt.fetch_hit_attributes(world16, tri, u, v, d)
+    np.testing.assert_array_equal(np.asarray(a32.material), np.asarray(a16.material))
+    np.testing.assert_array_equal(np.asarray(a32.back_face), np.asarray(a16.back_face))
+    # bf16 has 8 mantissa bits -> ~0.4% relative error on interpolants.
+    np.testing.assert_allclose(
+        np.asarray(a32.position), np.asarray(a16.position), atol=2e-2, rtol=1e-2)
+    dots = np.sum(np.asarray(a32.normal) * np.asarray(a16.normal), -1)
+    assert (dots > 0.999).all()
