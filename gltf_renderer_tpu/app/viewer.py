@@ -69,7 +69,8 @@ _PAGE = """<!doctype html>
 <label>Luminance Clamp <input type="number" id="luminance_clamp" step="1"></label>
 <label>Seed <input type="number" id="fixed_seed" step="1"></label>
 <div id="checks"></div>
-<hr><label>Animation <select id="animsel"><option value="">None</option></select></label>
+<hr><label>Scene <select id="scenesel"></select></label>
+<label>Animation <select id="animsel"><option value="">None</option></select></label>
 <label>Play <input type="checkbox" id="anim_play" checked></label>
 <label>Loop <input type="checkbox" id="anim_loop" checked></label>
 <label>Time <input type="range" id="anim_time" min="0" max="10" step="0.05"
@@ -118,6 +119,9 @@ document.getElementById('tonemapper').onchange =
   e => send('tonemapper', parseInt(e.target.value));
 document.getElementById('backend').onchange =
   e => send('backend', e.target.value);
+document.getElementById('scenesel').onchange = e => fetch('/input',
+  {method:'POST', body: JSON.stringify({type:'scene',
+   index: parseInt(e.target.value)})});
 document.getElementById('animsel').onchange = e => fetch('/input',
   {method:'POST', body: JSON.stringify({type:'animation',
    index: e.target.value === '' ? null : parseInt(e.target.value)})});
@@ -142,6 +146,12 @@ function syncUi(s) {
   dbg.value = s.settings.debug_output;
   document.getElementById('tonemapper').value = s.settings.tonemapper;
   document.getElementById('backend').value = s.backend;
+  const ssel = document.getElementById('scenesel');
+  for (let i = 0; i < s.scenes; i++) {
+    const o = document.createElement('option'); o.value = i;
+    o.textContent = 'Scene ' + i; ssel.appendChild(o);
+  }
+  ssel.value = s.scene_id;
   const asel = document.getElementById('animsel');
   for (let i = 0; i < s.animations; i++) {
     const o = document.createElement('option'); o.value = i;
@@ -361,6 +371,13 @@ def _apply_inputs(state: ViewerState, evs) -> bool:
             if "time" in ev:
                 p.time = float(ev["time"])
                 moved = True
+        elif t == "scene":
+            # glTF-tab scene selector (Main.cpp:190-200).
+            try:
+                state.renderer.select_scene(int(ev.get("index", 0)))
+                moved = True
+            except (IndexError, ValueError) as e:
+                logging.error("scene select failed: %s", e)
         elif t == "camera":
             idx = ev.get("index", None)
             try:
@@ -448,6 +465,8 @@ def make_handler(state: ViewerState):
                     "scene": state.scene_path,
                     "settings": _settings_dict(r),
                     "animations": len(scn.animations) if scn else 0,
+                    "scenes": len(scn.scenes) if scn else 0,
+                    "scene_id": getattr(r, "scene_id", 0),
                     "cameras": len(scn.cameras) if scn else 0,
                     "animation_playing": bool(r.player.playing),
                     "animation_time": float(r.player.time),

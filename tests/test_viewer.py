@@ -43,6 +43,14 @@ def test_viewer_serves_frames_and_input(tmp_path):
         # Always-on counter ring (Tracy counter-plot analogue).
         assert st["history"] and st["history"][-1]["frame_ms"] > 0
         assert st["stats"]["scene_bytes"] > 0
+        # Scene selector (glTF-tab combo, Main.cpp:190-200).
+        assert st["scenes"] >= 1
+        req = urllib.request.Request(
+            base + "/input",
+            data=json.dumps({"type": "scene", "index": 0}).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req, timeout=5).read() == b"ok"
 
         # Orbit input moves the camera and resets progressive accumulation
         # (reference CameraController -> accumulation reset semantics).
