@@ -242,8 +242,29 @@ def bin_triangles(setup: RasterSetup, width, height, cull: bool = True):
     return flat, offsets.astype(np.int32), tile_ids, (tiles_x, tiles_y)
 
 
-def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, rows_i_ref,
-                   z_ref, tri_ref, u_ref, v_ref, *, cull_sign: int):
+def _raster_kernel(*refs, cull_sign: int, list_in_vmem: bool = False):
+    if list_in_vmem:
+        # Big scenes: the (tri, tile) pair list exceeds SMEM (~0.44 MB cap)
+        # and lives in VMEM as (ceil(N/8), 8) i32 rows — one dynamic row
+        # load + an 8-way select extracts entry k (scalar ops ~4 ns,
+        # docs/PERFORMANCE.md kernel facts).
+        (counts_ref, starts_ref, tile_ids_ref, list2d_ref, rows_ref,
+         rows_i_ref, z_ref, tri_ref, u_ref, v_ref) = refs
+
+        def load_list(i):
+            row = list2d_ref[i >> 3, :]
+            lane = i & 7
+            v = row[0]
+            for j in range(1, 8):
+                v = jnp.where(lane == j, row[j], v)
+            return v
+    else:
+        (counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref,
+         rows_i_ref, z_ref, tri_ref, u_ref, v_ref) = refs
+
+        def load_list(i):
+            return list_ref[i]
+
     tiles_x = counts_ref[0]  # packed: [tiles_x, n_tiles]
     n_tiles = counts_ref[1]
     tile = jnp.minimum(tile_ids_ref[pl.program_id(0)], n_tiles - 1)
@@ -262,7 +283,7 @@ def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, row
         zb, trib, ub, vb = state
         # Clamped index: the batched loop (TRI_BATCH per iteration) pads the
         # tail by re-testing the LAST triangle — idempotent for the z-test.
-        tri_slot = list_ref[start + jnp.minimum(k, count - 1)]
+        tri_slot = load_list(start + jnp.minimum(k, count - 1))
         r = rows_ref[tri_slot, :]
         ax, ay, bx, by, cx, cy = r[0], r[1], r[2], r[3], r[4], r[5]
         z0, z1, z2 = r[6], r[7], r[8]
@@ -341,11 +362,16 @@ def _raster_kernel(counts_ref, starts_ref, list_ref, tile_ids_ref, rows_ref, row
     v_ref[:, :] = vb
 
 
-@functools.partial(jax.jit, static_argnames=("tiles", "cull_sign", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tiles", "cull_sign", "interpret", "list_space"))
 def rasterize_tiles(rows, rows_i, flat_list, offsets, tile_ids, tiles: Tuple[int, int],
-                    cull_sign: int = 1, interpret: bool = False):
+                    cull_sign: int = 1, interpret: bool = False,
+                    list_space: str = "smem"):
     """Pallas stage 3. Grid runs over NONEMPTY tiles only (compact outputs
-    scattered back). Returns (z, tri, u, v) of shape (tiles_y*8, tiles_x*128)."""
+    scattered back). Returns (z, tri, u, v) of shape (tiles_y*8, tiles_x*128).
+
+    list_space: "smem" streams the (tri, tile) pair list via scalar prefetch
+    (fits ~114k entries); "vmem" stores it as (N/8, 8) i32 rows in VMEM —
+    no practical length cap (used when the pair list would not fit SMEM)."""
     tiles_x, tiles_y = tiles
     n_tiles = tiles_x * tiles_y
     k = tile_ids.shape[0]
@@ -359,20 +385,37 @@ def rasterize_tiles(rows, rows_i, flat_list, offsets, tile_ids, tiles: Tuple[int
         jax.ShapeDtypeStruct((k * TILE_H, TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((k * TILE_H, TILE_W), jnp.float32),
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,   # meta, offsets, flat triangle list, tile ids
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,  # rows, rows_i
-        out_specs=[out_block] * 4,
-    )
-    kernel = functools.partial(_raster_kernel, cull_sign=cull_sign)
+    if list_space == "vmem":
+        n = flat_list.shape[0]
+        pad = -(-n // 8) * 8 - n
+        list2d = jnp.concatenate(
+            [flat_list, jnp.zeros(pad, flat_list.dtype)]
+        ).reshape(-1, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,   # meta, offsets, tile ids
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,  # list, rows, rows_i
+            out_specs=[out_block] * 4,
+        )
+        kernel = functools.partial(_raster_kernel, cull_sign=cull_sign,
+                                   list_in_vmem=True)
+        operands = (meta, offsets, tile_ids, list2d, rows, rows_i)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,   # meta, offsets, flat triangle list, tile ids
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,  # rows, rows_i
+            out_specs=[out_block] * 4,
+        )
+        kernel = functools.partial(_raster_kernel, cull_sign=cull_sign)
+        operands = (meta, offsets, flat_list, tile_ids, rows, rows_i)
     z_c, tri_c, u_c, v_c = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(meta, offsets, flat_list, tile_ids, rows, rows_i)
+    )(*operands)
 
     # Scatter compact tiles into the full image (padding ids >= n_tiles drop).
     def scatter(compact, clear, dtype):
@@ -554,19 +597,17 @@ def rasterize_device(world_position, tri_vertex, world_to_clip, width: int,
     valid = jnp.concatenate([keep, cvalid])
 
     tri_list, offsets, tiles = _bin_device(rows, valid, width, height, pair_cap)
-    # The kernel's triangle list is a scalar-prefetch operand and must fit
-    # SMEM (1.00 MB total on v5e, measured: a 262144-entry list overflows by
-    # the other operands). Sentinel pairs sort last, so slicing the sorted
-    # list keeps every REAL pair as long as the real total fits LIST_CAP.
+    # SMEM scalar-prefetch fits ~114k list entries (1.00 MB SMEM on v5e,
+    # measured: a 262144-entry list overflows with the other operands).
+    # Bigger pair lists switch to the VMEM list path — NO truncation (the
+    # old behavior silently dropped pairs past the cap on dense scenes).
     list_cap = 114688  # 0.44 MB of SMEM
-    if tri_list.shape[0] > list_cap:
-        tri_list = tri_list[:list_cap]
-        offsets = jnp.minimum(offsets, list_cap)
+    list_space = "smem" if tri_list.shape[0] <= list_cap else "vmem"
     tiles_x, tiles_y = tiles
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     z, tri, u, v = rasterize_tiles(
         rows, rows_i, tri_list, offsets, tile_ids, tiles,
-        cull_sign=cull_sign, interpret=interpret,
+        cull_sign=cull_sign, interpret=interpret, list_space=list_space,
     )
     return (
         z[:height, :width],

@@ -239,3 +239,25 @@ def test_raster_render_masked_tiled(tmp_path):
     # Identical modulo sub-pixel rasterization edge rules.
     diff = np.abs(img_rc - img_td).mean()
     assert diff < 0.02, diff
+
+
+def test_vmem_list_path_matches_smem(setup):
+    """A pair_cap above the SMEM cap flips the kernel to the VMEM list path
+    ((N/8, 8) rows + 8-way select) — identical output, NO truncation (the
+    old behavior silently dropped pairs past 114688 on dense scenes)."""
+    world, ptscene, meta, cam = setup
+    w, h = 256, 128
+    w2c = jnp.asarray(cam.world_to_clip())
+    zs, ts, us, vs = pr.rasterize_device(
+        world.position, world.tri_vertex, w2c, w, h,
+        double_sided=world.tri_double_sided, interpret=True,
+    )
+    zv, tv_, uv, vv = pr.rasterize_device(
+        world.position, world.tri_vertex, w2c, w, h,
+        double_sided=world.tri_double_sided, interpret=True,
+        pair_cap=131072,  # > list_cap 114688 -> VMEM list
+    )
+    np.testing.assert_array_equal(np.asarray(ts), np.asarray(tv_))
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(zv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(uv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vv), atol=1e-6)
