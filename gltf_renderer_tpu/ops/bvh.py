@@ -45,7 +45,7 @@ class FlatBVH(NamedTuple):
     levels: Any      # (N,) i32 — node depth (for vectorized refit)
 
 
-def _build_recursive(lo, hi, centroid, order):
+def _build_recursive(lo, hi, centroid, order, leaf_size=LEAF_SIZE):
     """Recursive DFS build returning arrays (replaces the iterative draft)."""
     t = len(order)
     n_min, n_max, n_first, n_count, n_right, n_skip, n_level = [], [], [], [], [], [], []
@@ -69,7 +69,7 @@ def _build_recursive(lo, hi, centroid, order):
         n_skip.append(-1)
         n_level.append(level)
         count = end - begin
-        if count <= LEAF_SIZE:
+        if count <= leaf_size:
             n_count[node] = count
             return node
 
@@ -181,7 +181,7 @@ def _load_native():
     return _NATIVE
 
 
-def _build_native(lib, v0, v1, v2) -> FlatBVH:
+def _build_native(lib, v0, v1, v2, leaf_size=LEAF_SIZE) -> FlatBVH:
     import ctypes
 
     t = len(v0)
@@ -205,7 +205,7 @@ def _build_native(lib, v0, v1, v2) -> FlatBVH:
         ptr(np.ascontiguousarray(v1, np.float32), f),
         ptr(np.ascontiguousarray(v2, np.float32), f),
         ctypes.c_int(t),
-        ctypes.c_int(LEAF_SIZE),
+        ctypes.c_int(leaf_size),
         ptr(aabb_min, f),
         ptr(aabb_max, f),
         ptr(first, i),
@@ -227,7 +227,8 @@ def _build_native(lib, v0, v1, v2) -> FlatBVH:
     )
 
 
-def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, use_native: bool = True) -> FlatBVH:
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, use_native: bool = True,
+          leaf_size: int = LEAF_SIZE) -> FlatBVH:
     """Build a threaded BVH (host). v0/v1/v2: (T, 3) triangle vertices.
 
     Uses the native C++ binned-SAH builder when available (the framework's
@@ -238,7 +239,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, use_native: bool = Tru
     if use_native and t > 0:
         lib = _load_native()
         if lib is not None:
-            return _build_native(lib, v0, v1, v2)
+            return _build_native(lib, v0, v1, v2, leaf_size)
     if t == 0:
         return FlatBVH(
             np.zeros((1, 3), np.float32),
@@ -254,7 +255,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, use_native: bool = Tru
     hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     centroid = ((lo + hi) * 0.5).astype(np.float32)
     order = np.arange(t, dtype=np.int32)
-    n_min, n_max, first, count, skip, right, level = _build_recursive(lo, hi, centroid, order)
+    n_min, n_max, first, count, skip, right, level = _build_recursive(lo, hi, centroid, order, leaf_size)
     return FlatBVH(n_min, n_max, first, count, skip, right, order, level)
 
 
