@@ -186,6 +186,19 @@ def main():
         print(f"  leaf {ls:2d}: nodes {nv2:6.0f} leaves {lv2:6.0f} "
               f"tri-tests {lv2 * ls:7.0f}  modeled {cost:7.0f} us/packet")
 
+    # --- Construction quality: exhaustive all-axes sweep SAH vs the
+    # production single-axis binned SAH (union visits decide).
+    lo3 = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+    hi3 = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+    t0 = time.time()
+    tr_sw = build_sweep_sah(lo3, hi3, leaf_size=16)
+    bs, ks, ls_, rs = wide_children(tr_sw, width)
+    nv3, lv3, pr3 = union_visits(bs, ks, ls_, rs, org, d_inc, t_min_i, t_cap)
+    print(f"sweep-SAH (all axes, exhaustive, build {time.time()-t0:.0f}s): "
+          f"nodes {nv3:6.0f} leaves {lv3:6.0f}  "
+          f"vs binned {nv:.0f}/{lv:.0f}  "
+          f"({(nv3 + lv3) / max(nv + lv, 1) - 1:+.1%} visits)")
+
 
 
 def treelet_analysis(boxes, kids, leaf, root, o, d, t_min, t_cap, depth_cut):
@@ -245,6 +258,87 @@ def treelet_analysis(boxes, kids, leaf, root, o, d, t_min, t_cap, depth_cut):
                 n_treelets=len(roots), n_pairs=n_pairs,
                 pairs_per_ray=n_pairs / r, bot_packets=bot_packets,
                 bot_nodes=bot_nodes, bot_leaves=bot_leaves)
+
+
+def build_sweep_sah(lo, hi, leaf_size=16):
+    """Exhaustive sweep SAH over ALL 3 axes (offline experiment builder;
+    the production builders are single-axis binned SAH). Returns a FlatBVH
+    built with the same threading/layout as ops/bvh._build_recursive."""
+    from gltf_renderer_tpu.ops.bvh import FlatBVH
+
+    t = lo.shape[0]
+    centroid = (lo + hi) * 0.5
+    order = np.arange(t, dtype=np.int32)
+    n_min, n_max, n_first, n_count, n_right, n_skip, n_level = [], [], [], [], [], [], []
+    sys.setrecursionlimit(max(100000, sys.getrecursionlimit()))
+
+    def area3(lo_a, hi_a):
+        d = np.maximum(hi_a - lo_a, 0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    def build(begin, end, level):
+        node = len(n_min)
+        idx = order[begin:end]
+        n_min.append(lo[idx].min(0))
+        n_max.append(hi[idx].max(0))
+        n_first.append(begin)
+        n_count.append(0)
+        n_right.append(-1)
+        n_skip.append(-1)
+        n_level.append(level)
+        count = end - begin
+        if count <= leaf_size:
+            n_count[node] = count
+            return node
+        best = (np.inf, -1, -1)  # (cost, axis, k)
+        orders = []
+        for ax in range(3):
+            o = idx[np.argsort(centroid[idx, ax], kind="stable")]
+            orders.append(o)
+            l_lo = np.minimum.accumulate(lo[o], 0)
+            l_hi = np.maximum.accumulate(hi[o], 0)
+            r_lo = np.minimum.accumulate(lo[o][::-1], 0)[::-1]
+            r_hi = np.maximum.accumulate(hi[o][::-1], 0)[::-1]
+            k = np.arange(1, count)
+            cost = area3(l_lo[:-1], l_hi[:-1]) * k + area3(r_lo[1:], r_hi[1:]) * (count - k)
+            j = int(np.argmin(cost))
+            if cost[j] < best[0]:
+                best = (float(cost[j]), ax, j + 1)
+        _, ax, k = best
+        if ax < 0:
+            n_count[node] = count
+            return node
+        order[begin:end] = orders[ax]
+        n_count[node] = 0
+        n_first[node] = node + 1
+        build(begin, begin + k, level + 1)
+        r = build(begin + k, end, level + 1)
+        n_right[node] = r
+        return node
+
+    build(0, t, 0)
+    n = len(n_min)
+    # skip links: DFS threading (next node when subtree is done).
+    skip = np.full(n, n, np.int32)
+    stack = [(0, n)]
+    i = 0
+    first_arr = np.asarray(n_first, np.int32)
+    count_arr = np.asarray(n_count, np.int32)
+    right_arr = np.asarray(n_right, np.int32)
+
+    def thread(node, nxt):
+        skip[node] = nxt
+        if count_arr[node] == 0 and right_arr[node] >= 0:
+            thread(node + 1, right_arr[node])
+            thread(right_arr[node], nxt)
+
+    thread(0, n)
+    return FlatBVH(
+        np.asarray(n_min, np.float32), np.asarray(n_max, np.float32),
+        first_arr, count_arr, skip, right_arr,
+        order, np.asarray(n_level, np.int32),
+    )
+
 
 if __name__ == "__main__":
     main()
