@@ -175,6 +175,7 @@ async function tick() {
       const b = await r.blob();
       img.src = URL.createObjectURL(b);
       const s = await (await fetch('/state')).json();
+      syncUi(s);   // one-shot UI init (combos + current settings)
       stat.textContent = s.backend + ' spp=' + s.spp;
     } catch (e) {}
     busy = false;
@@ -429,6 +430,18 @@ def render_loop(state: ViewerState, max_spp: int = 512):
         state.publish(buf.getvalue(), state.renderer.accumulated_frames)
 
 
+def _snapshot_history(history, last: int = 60):
+    """Copy the renderer's live counter deque without racing the render
+    thread (CPython raises RuntimeError if the deque is appended to during
+    iteration; appends themselves are atomic)."""
+    for _ in range(4):
+        try:
+            return list(history)[-last:]
+        except RuntimeError:
+            continue
+    return []
+
+
 def make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -472,7 +485,9 @@ def make_handler(state: ViewerState):
                     "animation_time": float(r.player.time),
                     # Always-on counter plots (Tracy analogue): last frames'
                     # wall ms + spp, plus the scene memory pool size.
-                    "history": list(r.history)[-60:],
+                    # (deque iteration races the render thread's append —
+                    # RuntimeError 'mutated during iteration' — so retry.)
+                    "history": _snapshot_history(r.history),
                     "stats": {k: v for k, v in r.stats.items()
                               if k != "pass_ms"},
                 }).encode()
@@ -507,6 +522,31 @@ def make_handler(state: ViewerState):
                             break
                         f.write(chunk)
                         remaining -= len(chunk)
+                if ext == ".gltf":
+                    # Only the dropped file arrives — a .gltf whose buffers
+                    # or images reference sibling files cannot load from the
+                    # empty temp dir. Reject with a useful message instead
+                    # of silently keeping the old scene (.glb embeds all).
+                    try:
+                        with open(dst, "r", encoding="utf-8") as f:
+                            doc = json.load(f)
+                        ext_uri = [
+                            u for u in (
+                                [b.get("uri", "") for b in doc.get("buffers", [])]
+                                + [i.get("uri", "") for i in doc.get("images", [])]
+                            )
+                            if u and not u.startswith("data:")
+                        ]
+                    except ValueError:
+                        self._send(415, b"not valid glTF JSON", "text/plain")
+                        return
+                    if ext_uri:
+                        self._send(
+                            415,
+                            b"gltf references external files; drop a .glb "
+                            b"(or use load-by-path)", "text/plain",
+                        )
+                        return
                 state.post_input({"type": "load", "path": dst})
                 self._send(200, b"ok", "text/plain")
                 return

@@ -181,7 +181,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
             mrow = textures.mip_rows[(tid_c * maxl + li).reshape(-1)].reshape(
                 tid.shape + (-1,)
             )
-            base_i = mrow[..., 0].astype(jnp.int32)
+            base_i = _bits(mrow[..., 0])  # bitcast int32 (exact past 2^24)
             lw = mrow[..., 1].astype(jnp.int32)
             lh = mrow[..., 2].astype(jnp.int32)
             lwf = mrow[..., 1]

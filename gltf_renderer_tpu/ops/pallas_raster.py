@@ -36,6 +36,9 @@ TRI_BATCH = 4
 SETUP_WIDTH = 24
 NEAR_EPS = 1e-6
 CLIP_CAP = 1024  # max near-plane-crossing triangles clipped per frame (device path)
+LIST_SMEM_CAP = 114688  # pair-list entries that fit SMEM scalar prefetch
+# (1.00 MB SMEM on v5e, measured: 262144 entries overflow with the other
+# operands); longer lists ride in VMEM (see rasterize_tiles).
 
 
 class RasterSetup(NamedTuple):
@@ -365,13 +368,16 @@ def _raster_kernel(*refs, cull_sign: int, list_in_vmem: bool = False):
 @functools.partial(jax.jit, static_argnames=("tiles", "cull_sign", "interpret", "list_space"))
 def rasterize_tiles(rows, rows_i, flat_list, offsets, tile_ids, tiles: Tuple[int, int],
                     cull_sign: int = 1, interpret: bool = False,
-                    list_space: str = "smem"):
+                    list_space: str = ""):
     """Pallas stage 3. Grid runs over NONEMPTY tiles only (compact outputs
     scattered back). Returns (z, tri, u, v) of shape (tiles_y*8, tiles_x*128).
 
     list_space: "smem" streams the (tri, tile) pair list via scalar prefetch
     (fits ~114k entries); "vmem" stores it as (N/8, 8) i32 rows in VMEM —
-    no practical length cap (used when the pair list would not fit SMEM)."""
+    no practical length cap. Default "": picked from the list length (the
+    list length is static, so the choice is too)."""
+    if not list_space:
+        list_space = "smem" if flat_list.shape[0] <= LIST_SMEM_CAP else "vmem"
     tiles_x, tiles_y = tiles
     n_tiles = tiles_x * tiles_y
     k = tile_ids.shape[0]
@@ -597,17 +603,14 @@ def rasterize_device(world_position, tri_vertex, world_to_clip, width: int,
     valid = jnp.concatenate([keep, cvalid])
 
     tri_list, offsets, tiles = _bin_device(rows, valid, width, height, pair_cap)
-    # SMEM scalar-prefetch fits ~114k list entries (1.00 MB SMEM on v5e,
-    # measured: a 262144-entry list overflows with the other operands).
-    # Bigger pair lists switch to the VMEM list path — NO truncation (the
-    # old behavior silently dropped pairs past the cap on dense scenes).
-    list_cap = 114688  # 0.44 MB of SMEM
-    list_space = "smem" if tri_list.shape[0] <= list_cap else "vmem"
+    # Pair lists beyond LIST_SMEM_CAP ride in VMEM inside rasterize_tiles —
+    # NO truncation (the old behavior silently dropped pairs past the cap
+    # on dense scenes).
     tiles_x, tiles_y = tiles
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     z, tri, u, v = rasterize_tiles(
         rows, rows_i, tri_list, offsets, tile_ids, tiles,
-        cull_sign=cull_sign, interpret=interpret, list_space=list_space,
+        cull_sign=cull_sign, interpret=interpret,
     )
     return (
         z[:height, :width],

@@ -163,6 +163,7 @@ def build_atlas_mips(tex: TextureTable) -> TextureTable:
         maxl = max(maxl, len(chain))
     flat_parts = []
     rows = np.zeros((t, maxl, 4), np.float32)
+    bases = np.zeros((t, maxl), np.int32)
     base = 0
     for i, chain in enumerate(chains):
         for l in range(maxl):
@@ -172,8 +173,12 @@ def build_atlas_mips(tex: TextureTable) -> TextureTable:
                 lvl_base = base
                 base += lvl.shape[0] * lvl.shape[1]
             else:  # repeat the last stored level (no duplicate storage)
-                lvl_base = rows[i, len(chain) - 1, 0]
-            rows[i, l] = (lvl_base, lvl.shape[1], lvl.shape[0], 0.0)
+                lvl_base = bases[i, len(chain) - 1]
+            bases[i, l] = lvl_base
+            rows[i, l] = (0.0, lvl.shape[1], lvl.shape[0], 0.0)
+    # flat_base rides BITCAST int32 (f32 integers lose exactness past 2^24
+    # — a 4k texture plus change already exceeds 16.7M texels).
+    rows[:, :, 0] = bases.view(np.float32)
     flat = (np.concatenate(flat_parts, 0) if flat_parts
             else np.zeros((0, 4), np.float32))
     return tex._replace(

@@ -129,8 +129,14 @@ class Renderer:
         """LoadGltf (Main.cpp:43-54). scene_id selects a glTF scene (UI's
         scene selector, Main.cpp:190-200); default = document default."""
         scene = path_or_scene if isinstance(path_or_scene, T.Scene) else load_gltf(path_or_scene)
+        sid = scene.default_scene if scene_id is None else scene_id
+        if scene.scenes and not (0 <= sid < len(scene.scenes)):
+            # Validate BEFORE mutating state: a bad UI index must not leave
+            # self.scene_id out of sync with what is actually rendered.
+            raise IndexError(f"scene index {sid} out of range (document has "
+                             f"{len(scene.scenes)} scenes)")
         self.scene = scene
-        self.scene_id = scene.default_scene if scene_id is None else scene_id
+        self.scene_id = sid
         self._plan = flatten.build_instance_plan(scene, self.scene_id)
         self._tri_flags = flatten.plan_tri_flags(self._plan, scene.primitives)
         self._pools_dev = jax.tree.map(jnp.asarray, scene.pools)

@@ -90,3 +90,31 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_numpy_twin_matches_jax():
+    """ops/texture.build_atlas_mips' load-time numpy filter must match the
+    jax generate_mip_level exactly (two implementations of the same shader
+    port — this pins them together)."""
+    from gltf_renderer_tpu.ops import texture as TX
+    from gltf_renderer_tpu.scene import types as T
+
+    rs = np.random.RandomState(9)
+    img = (rs.rand(11, 14, 4) * 255).astype(np.uint8)
+    tex = T.TextureTable(
+        atlas=img,
+        x=np.array([0], np.int32), y=np.array([0], np.int32),
+        width=np.array([14], np.int32), height=np.array([11], np.int32),
+        wrap_s=np.array([0], np.int32), wrap_t=np.array([0], np.int32),
+        nearest=np.array([0], np.int32), srgb=np.array([0], np.int32),
+        rows=np.array([[0, 0, 14, 11, 0, 0, 0, 0, 0]], np.float32),
+    )
+    from gltf_renderer_tpu.ops.texture import decode_atlas_linear
+    tex = decode_atlas_linear(tex)
+    tex = TX.build_atlas_mips(tex)
+    lin = np.asarray(tex.atlas_linear).reshape(11, 14, 4).astype(np.float32)
+    # level 1 slab == jax generate_mip_level(level 0)
+    base0 = 11 * 14
+    lvl1 = np.asarray(tex.mip_flat[base0 : base0 + 5 * 7]).reshape(5, 7, 4)
+    ref = np.asarray(generate_mip_level(lin)).astype(np.float16).astype(np.float32)
+    np.testing.assert_allclose(lvl1.astype(np.float32), ref, atol=2e-3)

@@ -118,8 +118,6 @@ def main():
             uv_area_ratio=jnp.ones_like(u) if with_footprint else None,
         )
 
-    real_closest = R.closest_hit if hasattr(R, "closest_hit") else None
-
     def stub_closest(scene_, meta_, origin, direction, t_min, t_max, **kw):
         r = origin.shape[0]
         return bvh_ops.Hit(t=jnp.minimum(t_max, 2.0),
