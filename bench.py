@@ -171,8 +171,38 @@ def fidelity_ssim(probe):
     return round(ssim(probe, golden, data_range=rng_), 5)
 
 
+def _tunnel_alive() -> bool:
+    """Under the axon tunnel, device init HANGS forever if the local relay
+    is down (observed round 3: the relay process died mid-round and
+    jax.devices() never returned). Probe the relay port so the bench fails
+    FAST with an honest zero instead of hanging the driver."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return True
+    import socket
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
 def main():
     t_setup = time.time()
+    if not _tunnel_alive():
+        print(json.dumps({"detail": {
+            "error": "TPU tunnel relay down (port 8082 refused) — no device; "
+                     "last measured on-chip: helmet 3.30 Mrays/s, see "
+                     "docs/PERFORMANCE.md"}}), file=sys.stderr)
+        print(json.dumps({
+            "metric": "pt_mrays_per_s_per_chip_1080p", "value": 0.0,
+            "unit": "Mrays/s", "vs_baseline": 0.0,
+        }))
+        return
     import jax
     import jax.numpy as jnp
 
