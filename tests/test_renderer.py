@@ -189,3 +189,39 @@ def test_use_frame_as_seed_off(tmp_path):
     r2.draw_frame()
     b1 = np.asarray(r2._accum)
     assert (b0 != b1).any(), "frame-seeded accumulation jitters"
+
+
+def test_multi_scene_document_select(tmp_path):
+    """glTF documents with several scenes: select_scene re-plans (the UI's
+    scene combo, Main.cpp:190-200); out-of-range indices raise BEFORE any
+    state mutates."""
+    import json
+
+    import pytest as _pytest
+
+    from tests.scenes import write_box_gltf
+
+    path = str(tmp_path / "two_scenes.gltf")
+    write_box_gltf(path)
+    doc = json.load(open(path))
+    # Scene 1: the box translated away, no light.
+    doc["nodes"].append({"mesh": 0, "name": "box2", "translation": [0.0, 0.0, 3.0]})
+    doc["scenes"].append({"nodes": [len(doc["nodes"]) - 1]})
+    json.dump(doc, open(path, "w"))
+
+    from gltf_renderer_tpu.render.renderer import Renderer
+    from gltf_renderer_tpu.render.settings import RenderSettings
+
+    r = Renderer(RenderSettings(width=48, height=32))
+    r.load_scene(path)
+    assert len(r.scene.scenes) == 2 and r.scene_id == 0
+    img0 = np.asarray(r.draw_frame())
+
+    r.select_scene(1)
+    assert r.scene_id == 1
+    img1 = np.asarray(r.draw_frame())
+    assert np.abs(img0.astype(int) - img1.astype(int)).max() > 0
+
+    with _pytest.raises(IndexError):
+        r.select_scene(99)
+    assert r.scene_id == 1  # unchanged after the failed select
