@@ -338,10 +338,13 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
             textures = build_atlas_quad(textures)
         # NPOT mip pyramid for the raster backend's trilinear sampling
         # (Forward.ps.hlsl derivative mips; the PT ignores it — SampleLevel-0
-        # parity). ~1.33x the linear atlas in f16.
-        from gltf_renderer_tpu.ops.texture import build_atlas_mips
+        # parity). Costs ~1.33x the PACKED rects in f16 (level 0 included) +
+        # a numpy filter pass at load; GLTF_TPU_NOMIPS=1 skips it for
+        # memory-constrained PT-only runs (raster then samples level 0).
+        if os.environ.get("GLTF_TPU_NOMIPS", "0") != "1":
+            from gltf_renderer_tpu.ops.texture import build_atlas_mips
 
-        textures = build_atlas_mips(textures)
+            textures = build_atlas_mips(textures)
     textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
     # texture metadata joined in: per-hit shading needs ONE material-row
