@@ -76,11 +76,18 @@ def _build_recursive(lo, hi, centroid, order, leaf_size=LEAF_SIZE):
         c = centroid[idx]
         c_lo, c_hi = c.min(0), c.max(0)
         extent = c_hi - c_lo
-        axis = int(np.argmax(extent))
+        axis = int(np.argmax(extent))  # median-split fallback axis
+        # Binned SAH over ALL 3 axes (matches the native builder; the
+        # round-3 union study measured up to 7% fewer packet-union visits
+        # vs largest-extent-only).
         mid = -1
-        if extent[axis] > 1e-12:
-            scale = SAH_BINS * (1.0 - 1e-6) / extent[axis]
-            bins = np.minimum(((c[:, axis] - c_lo[axis]) * scale).astype(np.int32), SAH_BINS - 1)
+        best_cost = np.inf
+        best_sel = None
+        for ax in range(3):
+            if extent[ax] <= 1e-12:
+                continue
+            scale = SAH_BINS * (1.0 - 1e-6) / extent[ax]
+            bins = np.minimum(((c[:, ax] - c_lo[ax]) * scale).astype(np.int32), SAH_BINS - 1)
             bin_count = np.bincount(bins, minlength=SAH_BINS)
             bin_lo = np.full((SAH_BINS, 3), np.inf, np.float32)
             bin_hi = np.full((SAH_BINS, 3), -np.inf, np.float32)
@@ -96,14 +103,16 @@ def _build_recursive(lo, hi, centroid, order, leaf_size=LEAF_SIZE):
             r_hi = np.maximum.accumulate(bin_hi[::-1], 0)[::-1][1:]
             cost = area(l_lo, l_hi) * lc + area(r_lo, r_hi) * rc
             cost = np.where((lc == 0) | (rc == 0), np.inf, cost)
-            best = int(np.argmin(cost))
-            if np.isfinite(cost[best]):
-                sel = bins <= best
-                left_idx = idx[sel]
-                right_idx = idx[~sel]
-                order[begin : begin + len(left_idx)] = left_idx
-                order[begin + len(left_idx) : end] = right_idx
-                mid = begin + len(left_idx)
+            b_ax = int(np.argmin(cost))
+            if np.isfinite(cost[b_ax]) and cost[b_ax] < best_cost:
+                best_cost = float(cost[b_ax])
+                best_sel = bins <= b_ax
+        if best_sel is not None:
+            left_idx = idx[best_sel]
+            right_idx = idx[~best_sel]
+            order[begin : begin + len(left_idx)] = left_idx
+            order[begin + len(left_idx) : end] = right_idx
+            mid = begin + len(left_idx)
         if mid <= begin or mid >= end:
             # Median split fallback.
             mid = begin + count // 2
