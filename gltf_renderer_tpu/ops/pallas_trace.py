@@ -399,8 +399,10 @@ def traverse_packets_wide(
     # Dummy node row: far-point boxes that never hit (same sentinel as empty
     # wide children, ops/bvh._EMPTY_BOX) — popped leaves box-test this row.
     dummy_id = wide_nodes.shape[0]
+    # Dtype follows the node table (f32, or conservative bf16 boxes —
+    # GLTF_TPU_BF16BOX; 3e38 is representable in bf16, max ~3.39e38).
     nodes_x = jnp.concatenate(
-        [wide_nodes, jnp.full((1, wide_nodes.shape[1]), 3.0e38, jnp.float32)]
+        [wide_nodes, jnp.full((1, wide_nodes.shape[1]), 3.0e38, wide_nodes.dtype)]
     )
     meta_x = jnp.concatenate(
         [wide_meta, jnp.full((1, wide_meta.shape[1]), WIDE_LEAF_BIT, jnp.int32)]

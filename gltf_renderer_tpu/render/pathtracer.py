@@ -378,15 +378,21 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         meta=jnp.asarray(wide_maps_np.meta),
         leaf_ids=jnp.asarray(wide_maps_np.leaf_ids),
     )
+    if os.environ.get("GLTF_TPU_BF16BOX", "0") == "1":
+        # A/B probe: bf16 node-box table with OUTWARD rounding
+        # (conservative_bf16_boxes) — every f32 box is contained in its
+        # bf16 box, so traversal can only over-visit, never miss; hit
+        # results are bit-identical (triangle tests stay exact f32).
+        # Halves the node table's VMEM/load bytes.
+        wide_nodes_np = bvh_ops.conservative_bf16_boxes(wide_nodes_np)
     wide_nodes = jnp.asarray(wide_nodes_np)
     # Kernel leaf tables: only the LEAF rows go to VMEM (records are stored
     # per binary node; internal rows are zeros and would double the budget).
     leaf_records = jnp.asarray(np.asarray(packed.records)[wide_maps_np.leaf_ids])
     leaf_words = jnp.asarray(np.asarray(packed.words)[wide_maps_np.leaf_ids])
     table_bytes = 4 * (
-        wide_nodes.size + wide_maps.meta.size + leaf_records.size
-        + leaf_words.size
-    )
+        wide_maps.meta.size + leaf_records.size + leaf_words.size
+    ) + wide_nodes.size * wide_nodes.dtype.itemsize
     meta = meta._replace(
         use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET,
         wide_root=wide_root,

@@ -222,3 +222,51 @@ def test_lane_mode_mixed_dispatch():
         hit = mc & (ref_tri >= 0)
         np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_conservative_boxes_same_hits():
+    """bf16 node boxes with outward rounding (GLTF_TPU_BF16BOX path): the
+    kernel may over-visit but the closest hits are unchanged (triangle
+    tests stay exact f32)."""
+    from gltf_renderer_tpu.ops.bvh import conservative_bf16_boxes
+    from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
+
+    packed = _random_scene(600, seed=21)
+    o, d, t_min, t_max = _random_rays(4096, seed=22)
+
+    nodes_np = np.asarray(packed.nodes)
+    is_leaf = nodes_np[:, 6] >= 0.0
+    skip = nodes_np[:, 7].astype(np.int32)
+    n = nodes_np.shape[0]
+    right = np.full(n, -1, np.int32)
+    internal = ~is_leaf
+    right[internal] = skip[np.clip(np.nonzero(internal)[0] + 1, 0, n - 1)]
+    tree = bvh_ops.FlatBVH(
+        aabb_min=nodes_np[:, 0:3], aabb_max=nodes_np[:, 3:6],
+        first=np.maximum(nodes_np[:, 6], 0).astype(np.int32),
+        count=is_leaf.astype(np.int32), skip=skip, right=right,
+        tri_order=None, levels=None,
+    )
+    maps, root_meta = bvh_ops.build_wide_maps(tree, width=4)
+    wide = np.asarray(bvh_ops.assemble_wide(packed.nodes, maps))
+    leaf_ids = jnp.asarray(maps.leaf_ids)
+    recs = packed.records[leaf_ids]
+    words = packed.words[leaf_ids]
+
+    out32 = traverse_packets_wide(
+        jnp.asarray(wide), jnp.asarray(maps.meta), recs, words,
+        o, d, t_min, t_max, root_meta=root_meta, interpret=True)
+    wide16 = jnp.asarray(conservative_bf16_boxes(wide))
+    out16 = traverse_packets_wide(
+        wide16, jnp.asarray(maps.meta), recs, words,
+        o, d, t_min, t_max, root_meta=root_meta, interpret=True)
+
+    t32, w32 = np.asarray(out32[0]), np.asarray(out32[1])
+    t16, w16 = np.asarray(out16[0]), np.asarray(out16[1])
+    np.testing.assert_array_equal(w32 >= 0, w16 >= 0)
+    hit = w32 >= 0
+    np.testing.assert_allclose(t16[hit], t32[hit], rtol=1e-4, atol=1e-5)
+    # Ties aside, the winning triangle is the same.
+    same = w16 == w32
+    close = np.abs(t16 - t32) <= 1e-4 * np.maximum(np.abs(t32), 1.0)
+    assert np.all(same | (hit & close))
