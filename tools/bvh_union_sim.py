@@ -198,6 +198,14 @@ def main():
           f"nodes {nv3:6.0f} leaves {lv3:6.0f}  "
           f"vs binned {nv:.0f}/{lv:.0f}  "
           f"({(nv3 + lv3) / max(nv + lv, 1) - 1:+.1%} visits)")
+    if os.environ.get("GLTF_TPU_SIM_SBVH", "0") == "1":
+        t0 = time.time()
+        tr_sb, dup = build_sbvh(lo3, hi3, leaf_size=16)
+        bb, kb, lb, rb = wide_children(tr_sb, width)
+        nv4, lv4, _ = union_visits(bb, kb, lb, rb, org, d_inc, t_min_i, t_cap)
+        print(f"SBVH-lite (spatial splits, dup {dup:.2f}x, build "
+              f"{time.time()-t0:.0f}s): nodes {nv4:6.0f} leaves {lv4:6.0f}  "
+              f"({(nv4 + lv4) / max(nv + lv, 1) - 1:+.1%} visits)")
 
 
 
@@ -338,6 +346,150 @@ def build_sweep_sah(lo, hi, leaf_size=16):
         first_arr, count_arr, skip, right_arr,
         order, np.asarray(n_level, np.int32),
     )
+
+
+
+def build_sbvh(lo, hi, leaf_size=16, bins=32, max_dup=2.0):
+    """SBVH-lite (offline experiment): at each node evaluate the best OBJECT
+    split (all-axes sweep over reference centroids) AND the best SPATIAL
+    split (chopped binning — references straddling the plane go to BOTH
+    sides with their boxes CLAMPED), take the cheaper. Reference count may
+    grow up to max_dup x. Returns a FlatBVH-shaped tree for union counting
+    (leaf contents are reference boxes; triangle identity is irrelevant to
+    the union metric)."""
+    from gltf_renderer_tpu.ops.bvh import FlatBVH
+
+    t0 = lo.shape[0]
+    max_refs = int(t0 * max_dup)
+    # Reference arrays (grow under spatial splits).
+    r_lo = list(lo)
+    r_hi = list(hi)
+    n_min, n_max, n_first, n_count, n_right, n_level = [], [], [], [], [], []
+    sys.setrecursionlimit(max(200000, sys.getrecursionlimit()))
+
+    def area3(lo_a, hi_a):
+        d = np.maximum(hi_a - lo_a, 0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    def build(refs, level):
+        node = len(n_min)
+        rlo = np.asarray([r_lo[i] for i in refs])
+        rhi = np.asarray([r_hi[i] for i in refs])
+        n_min.append(rlo.min(0))
+        n_max.append(rhi.max(0))
+        n_first.append(0)
+        n_count.append(0)
+        n_right.append(-1)
+        n_level.append(level)
+        count = len(refs)
+        if count <= leaf_size:
+            n_count[node] = count
+            return node
+        centroid = (rlo + rhi) * 0.5
+
+        # Object split: all-axes sweep (as build_sweep_sah).
+        best = (np.inf, None, None)  # (cost, left_refs, right_refs)
+        for ax in range(3):
+            o = np.argsort(centroid[:, ax], kind="stable")
+            l_lo = np.minimum.accumulate(rlo[o], 0)
+            l_hi = np.maximum.accumulate(rhi[o], 0)
+            rr_lo = np.minimum.accumulate(rlo[o][::-1], 0)[::-1]
+            rr_hi = np.maximum.accumulate(rhi[o][::-1], 0)[::-1]
+            k = np.arange(1, count)
+            cost = (area3(l_lo[:-1], l_hi[:-1]) * k
+                    + area3(rr_lo[1:], rr_hi[1:]) * (count - k))
+            j = int(np.argmin(cost))
+            if cost[j] < best[0]:
+                sel = o[: j + 1]
+                best = (float(cost[j]), [refs[i] for i in sel],
+                        [refs[i] for i in o[j + 1 :]])
+
+        # Spatial split (chopped binning) — only while duplication budget
+        # remains.
+        if len(r_lo) < max_refs:
+            node_lo = n_min[node]
+            node_hi = n_max[node]
+            for ax in range(3):
+                ext = node_hi[ax] - node_lo[ax]
+                if ext <= 1e-9:
+                    continue
+                for b in range(1, bins):
+                    plane = node_lo[ax] + ext * b / bins
+                    lmask = rlo[:, ax] < plane
+                    rmask = rhi[:, ax] > plane
+                    nl = int(lmask.sum())
+                    nr = int(rmask.sum())
+                    if nl == 0 or nr == 0 or nl + nr > count * 1.5:
+                        continue
+                    llo = rlo[lmask].min(0); lhi = rhi[lmask].max(0).copy()
+                    rlo2 = rlo[rmask].min(0).copy(); rhi2 = rhi[rmask].max(0)
+                    lhi[ax] = min(lhi[ax], plane)
+                    rlo2[ax] = max(rlo2[ax], plane)
+                    cost = float(area3(llo, lhi) * nl + area3(rlo2, rhi2) * nr)
+                    if cost < best[0]:
+                        lrefs, rrefs = [], []
+                        for i, ref in enumerate(refs):
+                            inl = lmask[i]
+                            inr = rmask[i]
+                            if inl and inr:
+                                # split the reference: clamp boxes
+                                la = r_lo[ref].copy(); ha = r_hi[ref].copy()
+                                ha[ax] = min(ha[ax], plane)
+                                lb = r_lo[ref].copy(); hb = r_hi[ref].copy()
+                                lb[ax] = max(lb[ax], plane)
+                                r_lo.append(lb); r_hi.append(hb)
+                                new_ref = len(r_lo) - 1
+                                lrefs.append((ref, la, ha))
+                                rrefs.append((new_ref, None, None))
+                            elif inl:
+                                lrefs.append((ref, None, None))
+                            else:
+                                rrefs.append((ref, None, None))
+                        # apply clamps lazily below via tuples
+                        best = (cost, ("spatial", lrefs), ("spatial", rrefs))
+
+        _, L, R = best
+        if L is None:
+            n_count[node] = count
+            return node
+
+        def materialize(side):
+            if isinstance(side, tuple) and side and side[0] == "spatial":
+                out = []
+                for ref, la, ha in side[1]:
+                    if la is not None:
+                        r_lo[ref] = la
+                        r_hi[ref] = ha
+                    out.append(ref)
+                return out
+            return side
+
+        lrefs = materialize(L)
+        rrefs = materialize(R)
+        n_first[node] = node + 1
+        build(lrefs, level + 1)
+        r = build(rrefs, level + 1)
+        n_right[node] = r
+        return node
+
+    build(list(range(t0)), 0)
+    n = len(n_min)
+    skip = np.full(n, n, np.int32)
+    count_arr = np.asarray(n_count, np.int32)
+    right_arr = np.asarray(n_right, np.int32)
+
+    def thread(node, nxt):
+        skip[node] = nxt
+        if count_arr[node] == 0 and right_arr[node] >= 0:
+            thread(node + 1, right_arr[node])
+            thread(right_arr[node], nxt)
+
+    thread(0, n)
+    return FlatBVH(
+        np.asarray(n_min, np.float32), np.asarray(n_max, np.float32),
+        np.asarray(n_first, np.int32), count_arr, skip, right_arr,
+        np.arange(len(r_lo), dtype=np.int32), np.asarray(n_level, np.int32),
+    ), len(r_lo) / t0
 
 
 if __name__ == "__main__":
