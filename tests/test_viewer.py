@@ -211,3 +211,59 @@ def test_viewer_drag_drop_upload(tmp_path):
     finally:
         state.running = False
         server.shutdown()
+
+
+def test_viewer_drop_hdr_swaps_environment(tmp_path):
+    """Dropping an .hdr replaces the ENVIRONMENT, not the scene
+    (Main.cpp:367-406 drop semantics)."""
+    import numpy as np_
+
+    import jax
+    from jax._src import compilation_cache as cc
+
+    from gltf_renderer_tpu.app import viewer
+    from gltf_renderer_tpu.env.hdr_io import write_hdr
+
+    # The env build's big XLA:CPU graphs hit the persistent-cache segfault
+    # inside long-lived pytest processes (see test_ssim_baseline's fixture);
+    # cache off for this test.
+    old_cache = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+
+    path = str(tmp_path / "box.gltf")
+    write_box_gltf(path)
+    server, state, thread = viewer.serve(
+        path, width=48, height=24, port=0, block=False
+    )
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 120
+        while time.time() < deadline and state.frame_seq == 0:
+            time.sleep(0.2)
+        env0 = state.renderer.env
+        scene0 = state.renderer.scene
+
+        hdr_path = str(tmp_path / "sky.hdr")
+        eq = np_.full((8, 16, 3), 0.25, np_.float32)
+        eq[:4] = [2.0, 1.0, 0.5]
+        write_hdr(hdr_path, eq)
+        req = urllib.request.Request(
+            base + "/upload?name=sky.hdr", data=open(hdr_path, "rb").read(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req, timeout=5).read() == b"ok"
+        deadline = time.time() + 90
+        while time.time() < deadline and state.renderer.env is env0:
+            time.sleep(0.2)
+        assert state.renderer.env is not env0   # environment swapped
+        assert state.renderer.scene is scene0   # scene untouched
+    finally:
+        state.running = False
+        server.shutdown()
+        # Join: tearing down the interpreter while the render thread is
+        # inside an XLA env build aborts the process at exit.
+        thread.join(timeout=120)
+        jax.config.update("jax_enable_compilation_cache", old_cache)
+        cc.reset_cache()
