@@ -74,6 +74,7 @@ def test_viewer_serves_frames_and_input(tmp_path):
     finally:
         state.running = False
         server.shutdown()
+        thread.join(timeout=60)
 
 
 def _post(base, payload):
@@ -160,6 +161,7 @@ def test_viewer_graphics_tab(tmp_path):
     finally:
         state.running = False
         server.shutdown()
+        thread.join(timeout=60)
 
 
 def test_viewer_drag_drop_upload(tmp_path):
@@ -211,6 +213,7 @@ def test_viewer_drag_drop_upload(tmp_path):
     finally:
         state.running = False
         server.shutdown()
+        thread.join(timeout=60)
 
 
 def test_viewer_drop_hdr_swaps_environment(tmp_path):
