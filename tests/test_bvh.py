@@ -138,3 +138,34 @@ def test_conservative_bf16_boxes_contain_f32():
     out2 = np.asarray(conservative_bf16_boxes(rows2), np.float32).reshape(512, 4, 6)
     np.testing.assert_array_equal(out2[:, :, 0:3], exact)
     np.testing.assert_array_equal(out2[:, :, 3:6], exact + 2.0)
+
+
+def test_union_visit_quality_band():
+    """Packet-union visit quality (the traversal cost driver,
+    docs/PERFORMANCE.md round-3 study): pin the builder's union visits on a
+    fixed scene to a band so construction changes can't silently regress
+    packet cost. Bounds set ~15% above the all-axes binned SAH result."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.bvh_union_sim import union_visits, wide_children
+
+    rs = np.random.RandomState(5)
+    c = rs.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    p0 = c + rs.uniform(-0.08, 0.08, (5000, 3)).astype(np.float32)
+    p1 = c + rs.uniform(-0.08, 0.08, (5000, 3)).astype(np.float32)
+    p2 = c + rs.uniform(-0.08, 0.08, (5000, 3)).astype(np.float32)
+    tree = bvh_ops.build(p0, p1, p2)
+    boxes, kids, leaf, root = wide_children(tree, 4)
+
+    org = rs.uniform(-1, 1, (512, 3)).astype(np.float32)
+    d = rs.randn(512, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nv, lv, _ = union_visits(
+        boxes, kids, leaf, root, org, d,
+        np.full(512, 1e-3, np.float32), np.full(512, 100.0, np.float32),
+    )
+    # all-axes binned SAH measured (264 nodes, 455 leaves) here; band +15%.
+    assert nv + lv < 830, (nv, lv)
+    # And the tree is sane: every triangle appears exactly once in order.
+    assert sorted(np.asarray(tree.tri_order).tolist()) == list(range(5000))
