@@ -840,8 +840,8 @@ class WideMaps(NamedTuple):
 
 
 def build_wide_maps(bvh: FlatBVH, width: int = 4) -> "tuple[WideMaps, int]":
-    """Collapse the binary tree into `width`-wide nodes (host; width 4 or 8 =
-    2 or 3 binary levels per wide level). Returns (maps, root_meta).
+    """Collapse the binary tree into `width`-wide nodes (host; width 4/8/16 =
+    2/3/4 binary levels per wide level). Returns (maps, root_meta).
     root_meta is the stack seed: the root wide id, or a leaf word when the
     whole tree is one leaf. Leaf meta entries carry COMPACT leaf indices
     (into maps.leaf_ids), not binary node ids.
@@ -850,7 +850,7 @@ def build_wide_maps(bvh: FlatBVH, width: int = 4) -> "tuple[WideMaps, int]":
     pop->load->test->reduce->push chain is the traversal bottleneck for
     incoherent packets (docs/PERFORMANCE.md) — at the cost of more box tests
     per iteration (which pipeline as vector work)."""
-    levels = {4: 2, 8: 3}[width]
+    levels = {4: 2, 8: 3, 16: 4}[width]
     count = np.asarray(bvh.count)
     right = np.asarray(bvh.right)
     n = count.shape[0]
