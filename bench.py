@@ -191,6 +191,30 @@ def _tunnel_alive() -> bool:
         s.close()
 
 
+def _warm_pallas():
+    """One tiny Pallas dispatch before anything is timed. On the axon tunnel
+    a fresh process returns EARLY from block_until_ready until the first
+    pallas dispatch lands (docs/PERFORMANCE.md 'Timing honesty') — warming
+    here makes every later number honest regardless of call order."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def k(x_ref, o_ref):
+        o_ref[:, :] = x_ref[:, :] + 1.0
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    out = pl.pallas_call(
+        k,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+    jax.block_until_ready(out)
+
+
 def main():
     t_setup = time.time()
     if not _tunnel_alive():
@@ -207,6 +231,13 @@ def main():
     import jax.numpy as jnp
 
     from gltf_renderer_tpu.render import pathtracer as pt
+
+    try:
+        _warm_pallas()
+    except Exception as e:  # CPU-only runs etc. must not sink the bench
+        print(f"[bench] pallas warm-up failed: {e}", file=sys.stderr)
+    print(f"[bench] pallas warm in {time.time() - t_setup:.1f}s",
+          file=sys.stderr, flush=True)
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
