@@ -2,8 +2,10 @@
 
 The reference uses stb_image (EnvironmentMap.cpp:253-289) for .hdr and tinyexr
 (EnvironmentMap.cpp:148-251) for .exr. This environment has no OpenEXR binding,
-so both formats are parsed directly: RGBE with new-style RLE, EXR scanline
-images with NONE/ZIPS/ZIP compression (half & float channels).
+so both formats are parsed directly: RGBE with new-style RLE, and EXR scanline
+images (half / float / uint channels) with every compression tinyexr itself
+decodes — NONE, RLE, ZIPS, ZIP, PIZ — plus PXR24, which tinyexr does NOT
+support, so the loader envelope strictly contains the reference's.
 """
 
 from __future__ import annotations
@@ -86,10 +88,153 @@ def write_hdr(path: str, image: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# OpenEXR (scanline, NONE/ZIPS/ZIP)
+# OpenEXR (scanline, NONE/RLE/ZIPS/ZIP/PIZ/PXR24)
 # ---------------------------------------------------------------------------
 
 _PIXEL_DTYPE = {0: np.uint32, 1: np.float16, 2: np.float32}
+
+
+def _zip_reconstruct(raw: bytes) -> bytes:
+    """Invert the shared ZIP/RLE byte transform (OpenEXR ImfZip.cpp /
+    ImfRleCompressor.cpp): un-delta (d[i] = d[i-1] + raw[i] - 128, d[0] =
+    raw[0]) then de-interleave the two halves."""
+    b = np.frombuffer(raw, np.uint8).astype(np.int64)
+    d = np.mod(np.cumsum(b - 128) + 128, 256).astype(np.uint8)
+    half = (len(d) + 1) // 2
+    inter = np.zeros(len(d), np.uint8)
+    inter[0::2] = d[:half]
+    inter[1::2] = d[half:]
+    return inter.tobytes()
+
+
+def _zip_forward(raw: bytes) -> bytes:
+    """Forward ZIP/RLE byte transform (interleave-split then delta) — the
+    encoder side of _zip_reconstruct, used by write_exr."""
+    b = np.frombuffer(raw, np.uint8)
+    half = (len(b) + 1) // 2
+    split = np.concatenate([b[0::2], b[1::2]]).astype(np.int64)
+    d = np.empty(len(split), np.int64)
+    d[0] = split[0]
+    d[1:] = split[1:] - split[:-1] + 128
+    return np.mod(d, 256).astype(np.uint8).tobytes()
+
+
+def _rle_uncompress(raw: bytes, expect: int) -> bytes:
+    """OpenEXR RLE codec (ImfRle.cpp rleUncompress): signed count byte,
+    negative n => -n literal bytes follow, non-negative n => n+1 copies of
+    the next byte."""
+    src = np.frombuffer(raw, np.int8)
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expect:
+        c = int(src[i])
+        if c < 0:
+            out += raw[i + 1 : i + 1 - c]
+            i += 1 - c
+        else:
+            out += raw[i + 1 : i + 2] * (c + 1)
+            i += 2
+    if len(out) != expect:
+        raise ValueError("EXR RLE decode size mismatch")
+    return bytes(out)
+
+
+def _rle_compress(raw: bytes) -> bytes:
+    """Valid (not byte-identical-to-OpenEXR) RLE encoder for write_exr:
+    emit runs of >=3 equal bytes, literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    lit_start = 0
+
+    def flush_literals(end):
+        s = lit_start
+        while s < end:
+            chunk = min(127, end - s)
+            out.append((256 - chunk) & 0xFF)  # -chunk as signed byte
+            out.extend(raw[s : s + chunk])
+            s += chunk
+
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(run - 1)
+            out.append(raw[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _pxr24_uncompress(raw: bytes, channels_sorted, width: int, n_lines: int) -> bytes:
+    """PXR24 (ImfPxr24Compressor.cpp): zlib over per-scanline, per-channel
+    byte planes of horizontally delta-coded pixels; floats truncated to 24
+    bits (bits >> 8). Returns raw bytes in the standard scanline-interleaved
+    channel layout (floats rehydrated as f32 with the low mantissa byte 0)."""
+    data = zlib.decompress(raw)
+    pos = 0
+    out = bytearray()
+    for _li in range(n_lines):
+        for _cname, ctype in channels_sorted:
+            if ctype == 2:  # FLOAT: 3 planes of the 24-bit value
+                p = np.frombuffer(data, np.uint8, 3 * width, pos).reshape(3, width)
+                pos += 3 * width
+                diff = (
+                    (p[0].astype(np.uint32) << 16)
+                    | (p[1].astype(np.uint32) << 8)
+                    | p[2]
+                )
+                px = np.cumsum(diff, dtype=np.uint32) & 0xFFFFFF
+                out += (px << 8).astype("<u4").tobytes()
+            elif ctype == 1:  # HALF: 2 planes, lossless
+                p = np.frombuffer(data, np.uint8, 2 * width, pos).reshape(2, width)
+                pos += 2 * width
+                diff = ((p[0].astype(np.uint16) << 8) | p[1]).astype(np.uint16)
+                out += np.cumsum(diff, dtype=np.uint16).astype("<u2").tobytes()
+            else:  # UINT: 4 planes
+                p = np.frombuffer(data, np.uint8, 4 * width, pos).reshape(4, width)
+                pos += 4 * width
+                diff = (
+                    (p[0].astype(np.uint32) << 24)
+                    | (p[1].astype(np.uint32) << 16)
+                    | (p[2].astype(np.uint32) << 8)
+                    | p[3]
+                )
+                out += np.cumsum(diff, dtype=np.uint32).astype("<u4").tobytes()
+    return bytes(out)
+
+
+def _pxr24_compress(raw: bytes, channels_sorted, width: int, n_lines: int) -> bytes:
+    """Encoder side of _pxr24_uncompress (floats truncated, per ImfPxr24
+    floatToFloat24 minus its round-to-nearest — any 24-bit value round-trips)."""
+    planes = bytearray()
+    pos = 0
+    for _li in range(n_lines):
+        for _cname, ctype in channels_sorted:
+            if ctype == 2:
+                px = np.frombuffer(raw, "<u4", width, pos) >> 8
+                pos += 4 * width
+                diff = np.diff(px, prepend=np.uint32(0)).astype(np.uint32)
+                planes += ((diff >> 16) & 0xFF).astype(np.uint8).tobytes()
+                planes += ((diff >> 8) & 0xFF).astype(np.uint8).tobytes()
+                planes += (diff & 0xFF).astype(np.uint8).tobytes()
+            elif ctype == 1:
+                px = np.frombuffer(raw, "<u2", width, pos)
+                pos += 2 * width
+                diff = np.diff(px, prepend=np.uint16(0)).astype(np.uint16)
+                planes += (diff >> 8).astype(np.uint8).tobytes()
+                planes += (diff & 0xFF).astype(np.uint8).tobytes()
+            else:
+                px = np.frombuffer(raw, "<u4", width, pos)
+                pos += 4 * width
+                diff = np.diff(px, prepend=np.uint32(0)).astype(np.uint32)
+                for sh in (24, 16, 8, 0):
+                    planes += ((diff >> sh) & 0xFF).astype(np.uint8).tobytes()
+    return zlib.compress(bytes(planes))
 
 
 def _read_exr_header(data, pos):
@@ -134,9 +279,11 @@ def read_exr(path: str) -> np.ndarray:
     channels_sorted = sorted(channels)  # EXR stores channels alphabetically
 
     comp = attrs["compression"][1][0]
-    if comp not in (0, 2, 3, 4):
-        raise ValueError(f"EXR compression {comp} not supported (none/zip/piz)")
-    lines_per_block = {0: 1, 2: 1, 3: 16, 4: 32}[comp]
+    if comp not in (0, 1, 2, 3, 4, 5):
+        raise ValueError(
+            f"EXR compression {comp} not supported (none/rle/zips/zip/piz/pxr24)"
+        )
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}[comp]
 
     xmin, ymin, xmax, ymax = struct.unpack("<iiii", attrs["dataWindow"][1])
     width = xmax - xmin + 1
@@ -154,24 +301,19 @@ def read_exr(path: str) -> np.ndarray:
         raw = data[off + 8 : off + 8 + size]
         n_lines = min(lines_per_block, ymax - y + 1)
         expect = line_bytes * n_lines
-        if comp == 4 and size < expect:
+        if size >= expect and comp != 0:
+            pass  # stored uncompressed (compression didn't help)
+        elif comp == 1:
+            raw = _zip_reconstruct(_rle_uncompress(raw, expect))
+        elif comp in (2, 3):
+            raw = _zip_reconstruct(zlib.decompress(raw))
+        elif comp == 4:
             from gltf_renderer_tpu.env.piz import piz_uncompress
 
             chan_types = [(n_, t_) for n_, t_ in channels_sorted]
             raw = piz_uncompress(raw, chan_types, width, n_lines)
-        elif comp == 4:
-            pass  # stored uncompressed (compression didn't help)
-        if comp in (2, 3):
-            raw = zlib.decompress(raw)
-            # EXR zip post-process: un-delta (d[i] = d[i-1] + raw[i] - 128,
-            # d[0] = raw[0]) then de-interleave halves.
-            b = np.frombuffer(raw, np.uint8).astype(np.int64)
-            d = np.mod(np.cumsum(b - 128) + 128, 256).astype(np.uint8)
-            half = (len(d) + 1) // 2
-            inter = np.zeros(len(d), np.uint8)
-            inter[0::2] = d[:half]
-            inter[1::2] = d[half:]
-            raw = inter.tobytes()
+        elif comp == 5:
+            raw = _pxr24_uncompress(raw, channels_sorted, width, n_lines)
         if len(raw) != expect:
             raise ValueError("EXR block size mismatch")
         bpos = 0
@@ -188,25 +330,30 @@ def read_exr(path: str) -> np.ndarray:
     return np.stack([out[c] for c in order], -1)
 
 
-def write_exr(path: str, image: np.ndarray):
-    """Minimal uncompressed float32 scanline EXR writer (for tests/tools)."""
-    image = np.asarray(image, np.float32)
+def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = False):
+    """Scanline EXR writer for tests/tools. compression: 0=none, 1=rle,
+    2=zips, 3=zip, 5=pxr24 (floats truncated to 24 bits, halves lossless)."""
+    if compression not in (0, 1, 2, 3, 5):
+        raise ValueError(f"write_exr: unsupported compression {compression}")
+    image = np.asarray(image, np.float16 if half else np.float32)
     h, w = image.shape[:2]
     c = 1 if image.ndim == 2 else image.shape[2]
     names = ["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
     chans = sorted(names)
+    ctype = 1 if half else 2
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 5: 16}[compression]
 
     def attr(name, atype, payload):
         return name.encode() + b"\x00" + atype.encode() + b"\x00" + struct.pack("<I", len(payload)) + payload
 
     chan_payload = b""
     for n in chans:
-        chan_payload += n.encode() + b"\x00" + struct.pack("<iBxxxii", 2, 0, 1, 1)
+        chan_payload += n.encode() + b"\x00" + struct.pack("<iBxxxii", ctype, 0, 1, 1)
     chan_payload += b"\x00"
 
     header = b""
     header += attr("channels", "chlist", chan_payload)
-    header += attr("compression", "compression", b"\x00")
+    header += attr("compression", "compression", bytes([compression]))
     header += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
     header += attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
     header += attr("lineOrder", "lineOrder", b"\x00")
@@ -217,18 +364,40 @@ def write_exr(path: str, image: np.ndarray):
 
     img = image.reshape(h, w, c)
     name_to_idx = {n: i for i, n in enumerate(names)}
-    line_bytes = 4 * w * c
+    channels_sorted = [(n, ctype) for n in chans]
+    n_blocks = -(-h // lines_per_block)
+    blocks = []
+    for bi in range(n_blocks):
+        y0 = bi * lines_per_block
+        n_lines = min(lines_per_block, h - y0)
+        raw = b"".join(
+            img[y0 + li, :, name_to_idx[n]].tobytes()
+            for li in range(n_lines)
+            for n in chans
+        )
+        if compression == 1:
+            enc = _rle_compress(_zip_forward(raw))
+        elif compression in (2, 3):
+            enc = zlib.compress(_zip_forward(raw))
+        elif compression == 5:
+            enc = _pxr24_compress(raw, channels_sorted, w, n_lines)
+        else:
+            enc = raw
+        blocks.append((y0, enc if len(enc) < len(raw) else raw))
+
     table_pos = 8 + len(header)
-    data_pos = table_pos + 8 * h
-    offsets = [data_pos + i * (8 + line_bytes) for i in range(h)]
+    data_pos = table_pos + 8 * n_blocks
+    offsets = []
+    for _y0, payload in blocks:
+        offsets.append(data_pos)
+        data_pos += 8 + len(payload)
     with open(path, "wb") as f:
         f.write(struct.pack("<iI", 20000630, 2))
         f.write(header)
-        f.write(struct.pack(f"<{h}Q", *offsets))
-        for y in range(h):
-            f.write(struct.pack("<ii", y, line_bytes))
-            for n in chans:
-                f.write(img[y, :, name_to_idx[n]].tobytes())
+        f.write(struct.pack(f"<{n_blocks}Q", *offsets))
+        for y0, payload in blocks:
+            f.write(struct.pack("<ii", y0, len(payload)))
+            f.write(payload)
 
 
 def read_environment_image(path: str) -> np.ndarray:

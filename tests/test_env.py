@@ -41,6 +41,59 @@ def test_exr_roundtrip(tmp_path):
     np.testing.assert_allclose(back, img, atol=1e-6)
 
 
+@pytest.mark.parametrize("comp", [1, 2, 3])
+def test_exr_compressed_roundtrip_lossless(tmp_path, comp):
+    """RLE/ZIPS/ZIP decode to the exact pixels of the NONE encoding
+    (tinyexr's envelope minus PIZ, EnvironmentMap.cpp:148-251)."""
+    # 33 rows: ZIP's 16-line blocks get a partial last block.
+    img = _test_equirect(33, 32)
+    p0 = str(tmp_path / "none.exr")
+    pc = str(tmp_path / f"c{comp}.exr")
+    hdr_io.write_exr(p0, img, compression=0)
+    hdr_io.write_exr(pc, img, compression=comp)
+    np.testing.assert_array_equal(hdr_io.read_exr(pc), hdr_io.read_exr(p0))
+
+
+def test_exr_rle_constant_rows_compress(tmp_path):
+    """A constant image actually exercises the run path of the RLE codec
+    (file materially smaller than raw) and still decodes exactly."""
+    img = np.full((8, 64, 3), 0.25, np.float16)
+    p = str(tmp_path / "runs.exr")
+    hdr_io.write_exr(p, img, compression=1, half=True)
+    import os
+
+    assert os.path.getsize(p) < img.nbytes // 4
+    np.testing.assert_array_equal(hdr_io.read_exr(p), img.astype(np.float32))
+
+
+def test_exr_pxr24_float_roundtrip(tmp_path):
+    """PXR24 float channels lose exactly the low mantissa byte — decoded
+    bits must equal the source bits with the bottom 8 zeroed. PXR24 is
+    BEYOND the reference's tinyexr envelope (tinyexr has no PXR24)."""
+    img = _test_equirect(33, 32)
+    p = str(tmp_path / "t24.exr")
+    hdr_io.write_exr(p, img, compression=5)
+    back = hdr_io.read_exr(p)
+    want = (img.view(np.uint32) & np.uint32(0xFFFFFF00)).view(np.float32)
+    np.testing.assert_array_equal(back, want)
+    # And the truncation error is bounded by 2^-16 relative.
+    np.testing.assert_allclose(back, img, rtol=2.0**-15)
+
+
+def test_exr_pxr24_half_lossless(tmp_path):
+    img = _test_equirect(16, 32).astype(np.float16)
+    p = str(tmp_path / "th.exr")
+    hdr_io.write_exr(p, img, compression=5, half=True)
+    np.testing.assert_array_equal(hdr_io.read_exr(p), img.astype(np.float32))
+
+
+def test_exr_half_rle_roundtrip(tmp_path):
+    img = _test_equirect(16, 32).astype(np.float16)
+    p = str(tmp_path / "th1.exr")
+    hdr_io.write_exr(p, img, compression=1, half=True)
+    np.testing.assert_array_equal(hdr_io.read_exr(p), img.astype(np.float32))
+
+
 @pytest.fixture(scope="module")
 def env():
     return E.build_environment(_test_equirect(), cube_size=64)
