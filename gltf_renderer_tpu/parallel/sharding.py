@@ -58,8 +58,10 @@ def render_sharded(
     w, h = resolution
     n_tile = mesh.shape[TILE_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
-    assert h % n_tile == 0, f"height {h} must divide over {n_tile} tile shards"
-    tile_h = h // n_tile
+    # Non-divisible heights round the tile up; rows past the image bottom are
+    # extrapolated camera rays (RNG keys are absolute pixel coords, so live
+    # rows are bit-identical to the single-device render) and cropped off.
+    tile_h = -(-h // n_tile)
 
     def shard_fn(scene_rep, c2w, seed_arr):
         tile_idx = jax.lax.axis_index(TILE_AXIS)
@@ -85,7 +87,7 @@ def render_sharded(
         out_specs=P(TILE_AXIS, None, None),  # image rows (axis 0) over tiles
     )
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.uint32))
-    return fn(scene, jnp.asarray(clip_to_world), seed_arr)
+    return fn(scene, jnp.asarray(clip_to_world), seed_arr)[:h]
 
 
 def render_sharded_jit(scene, meta, settings, params, clip_to_world, resolution, seed, mesh):
@@ -96,3 +98,78 @@ def render_sharded_jit(scene, meta, settings, params, clip_to_world, resolution,
         return render_sharded(scene, meta, settings, params, c2w, resolution, seed, mesh)
 
     return go(scene, clip_to_world, seed)
+
+
+def render_raster_sharded(
+    scene,
+    meta,
+    render_settings,
+    params,
+    clip_to_world,
+    camera_pos,
+    resolution: Tuple[int, int],
+    frame,
+    mesh: Mesh,
+    with_motion: bool = False,
+    prev_world_to_clip=None,
+    prev_position=None,
+):
+    """One raster frame (Rasterizer::DrawScene pass order) sharded over the
+    mesh's TILE_AXIS — the multi-chip path for the raster backend.
+
+    Pixel-row tiles shard exactly like render_sharded; the raster frame is
+    deterministic, so the SAMPLE_AXIS (if >1) computes replicated values and
+    the output stays valid on any (sample x tile) mesh. The one collective
+    beyond the PT path: when the scene has blended/transmissive materials the
+    transmission backdrop pyramid needs the FULL opaque image, so the lit
+    tiles all_gather over TILE_AXIS (one image-sized ICI transfer) and every
+    shard builds the (small) mip pyramid redundantly — cheaper than sharding
+    six tiny convs, and it keeps the blend pass bit-identical to the
+    single-device render at tile seams.
+    """
+    from gltf_renderer_tpu.render import rasterizer
+
+    w, h = resolution
+    n_tile = mesh.shape[TILE_AXIS]
+    tile_h = -(-h // n_tile)
+
+    def shard_fn(scene_rep, c2w, prev_c2w):
+        tile_idx = jax.lax.axis_index(TILE_AXIS)
+
+        def lit_gather(tile_lit):
+            full = jax.lax.all_gather(tile_lit, TILE_AXIS, axis=0, tiled=True)
+            return full[:h]
+
+        return rasterizer.render(
+            scene_rep,
+            meta,
+            render_settings,
+            params,
+            c2w,
+            camera_pos,
+            (w, tile_h),
+            frame,
+            prev_world_to_clip=prev_c2w if prev_world_to_clip is not None else None,
+            prev_position=prev_position,
+            with_motion=with_motion,
+            pixel_offset=(0, tile_idx * tile_h),
+            full_resolution=(w, h),
+            lit_gather=lit_gather,
+        )
+
+    out_spec = P(TILE_AXIS, None, None)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(out_spec, out_spec) if with_motion else out_spec,
+    )
+    prev = (
+        jnp.asarray(prev_world_to_clip)
+        if prev_world_to_clip is not None
+        else jnp.eye(4, dtype=jnp.float32)
+    )
+    out = fn(scene, jnp.asarray(clip_to_world), prev)
+    if with_motion:
+        return out[0][:h], out[1][:h]
+    return out[:h]

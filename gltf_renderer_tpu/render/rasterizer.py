@@ -401,6 +401,12 @@ def render(
     prev_position=None,
     with_motion: bool = False,
     visibility: str = "raycast",
+    pixel_offset=(0, 0),  # for sharded tiles: global pixel coords of (0, 0)
+    full_resolution=None,  # full image size when rendering a tile
+    lit_gather=None,  # sharded: assemble the FULL lit image for the
+    # transmission backdrop (e.g. an all_gather over the tile axis); the
+    # blend pass samples the backdrop at absolute screen uv, so per-shard
+    # local mips would diverge from the single-device render at tile seams
 ):
     """Rasterizer::DrawScene equivalent -> (h, w, 3) HDR linear image
     (+ (h, w, 2) motion vectors when with_motion).
@@ -422,9 +428,14 @@ def render(
     )
 
     w, h = resolution
+    if full_resolution is None:
+        full_resolution = resolution
+    else:
+        assert visibility == "raycast", "sharded tiles need raycast visibility"
+    fw, fh = full_resolution
     px_t, py_t, _valid_t = _tile_order(w, h)
-    px = jnp.asarray(px_t)
-    py = jnp.asarray(py_t)
+    px = jnp.asarray(px_t) + pixel_offset[0]
+    py = jnp.asarray(py_t) + pixel_offset[1]
     n = px.shape[0]
 
     env_intensity = params.environment_intensity
@@ -438,7 +449,7 @@ def render(
     if has_mips:
         _o3, raw3 = generate_camera_rays(
             jnp.asarray([0, 1, 0], jnp.int32), jnp.asarray([0, 0, 1], jnp.int32),
-            (w, h), clip_to_world, jnp.zeros((3, 2), jnp.float32),
+            (fw, fh), clip_to_world, jnp.zeros((3, 2), jnp.float32),
         )
         s0 = jnp.sqrt(
             jnp.linalg.norm(raw3[1] - raw3[0]) * jnp.linalg.norm(raw3[2] - raw3[0])
@@ -481,7 +492,7 @@ def render(
         else:
             cpx, cpy = args
         origin, direction, t_max, screen_uv = _pixel_rays(
-            cpx, cpy, (w, h), clip_to_world
+            cpx, cpy, (fw, fh), clip_to_world
         )
         if tiled_hit is not None:
             # ONE tri-major row gather for all three vertex positions
@@ -531,12 +542,13 @@ def render(
 
     # --- Transmission backdrop mips + blended/transmissive layers, chunked.
     if meta.has_blend:
-        trans_mips = build_transmission_mips(lit)
+        backdrop = lit if lit_gather is None else lit_gather(lit)
+        trans_mips = build_transmission_mips(backdrop)
 
         def blend_chunk(args):
             cpx, cpy, c_opaque_t, c_lit = args
             origin, direction, t_max, screen_uv = _pixel_rays(
-                cpx, cpy, (w, h), clip_to_world
+                cpx, cpy, (fw, fh), clip_to_world
             )
             # Collect up to MAX_BLEND_LAYERS blend hits front-to-back, then
             # composite back-to-front (Rasterizer sorts draws; we sort
@@ -582,7 +594,7 @@ def render(
             prev_c2w = jnp.linalg.inv(clip_to_world)
         hit_full = bvh_ops.Hit(t=opaque_t, tri=tri_f, u=u_f, v=v_f)
         mv = _from_tile_order(motion_vectors(
-            scene.world, hit_full, px, py, prev_c2w, prev_position, (w, h)
+            scene.world, hit_full, px, py, prev_c2w, prev_position, (fw, fh)
         ), w, h)
         return lit, mv
     return lit
