@@ -121,6 +121,37 @@ def render_courtyard_pt(tmp):
     return _pt_frames(r, 2)
 
 
+def render_debug_channels(tmp, res=(64, 48)):
+    """All 28 PT debug channels (PathTracer.lib.hlsl:806-990 switch) on the
+    materials zoo: raw per-channel float images BEFORE tonemap, the cheapest
+    reference-parity evidence per channel — a BSDF/attribute regression pins
+    to the exact channel instead of washing into a beauty-render SSIM.
+
+    Returns (28, h, w, 3) float32 (channel 0 = DEBUG_NONE beauty render).
+    """
+    import jax.numpy as jnp
+
+    from gltf_renderer_tpu.render import pathtracer as pt
+    from tests.scenes import write_materials_gltf
+
+    path = write_materials_gltf(os.path.join(tmp, "zoo.gltf"))
+    r = _renderer(path, res[0], res[1], "pathtracer", env=True)
+    r.camera.world_to_view = look_at([0.0, -6.0, 3.0], [0.0, 0.0, 0.5])
+    r.draw_frame()  # builds PTScene/meta once; reused across channel renders
+    c2w = jnp.asarray(r.camera.clip_to_world())
+    out = []
+    for dbg in range(28):
+        settings = S.PathTracerSettings(
+            max_bounces=1, min_bounces=1, debug_output=dbg
+        )
+        img = pt.trace(
+            r._ptscene, r._meta, settings, S.PathTracerParams(), c2w, res,
+            jnp.uint32(5),
+        )
+        out.append(np.asarray(img, np.float32))
+    return np.stack(out)
+
+
 CONFIGS = {
     "box_raster": render_box_raster,
     "helmet_raster": render_helmet_raster,

@@ -37,13 +37,30 @@ def make_bench_fidelity():
     return probe.shape, bench_mod.FIDELITY_GOLDEN
 
 
+def make_debug_channels():
+    """Per-debug-channel golden lock (28 raw float images, float16 npz)."""
+    import numpy as np
+
+    from tests.golden_configs import render_debug_channels
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stack = render_debug_channels(tmp)
+    out = os.path.join(GOLDEN_DIR, "debug_channels.npz")
+    np.savez_compressed(out, channels=stack.astype(np.float16))
+    return stack.shape, out
+
+
 def main(argv):
-    names = argv or (list(CONFIGS) + ["bench_fidelity"])
+    names = argv or (list(CONFIGS) + ["bench_fidelity", "debug_channels"])
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in names:
         t0 = time.time()
         if name == "bench_fidelity":
             shape, out = make_bench_fidelity()
+            print(f"{name}: {shape} -> {out} ({time.time() - t0:.1f}s)")
+            continue
+        if name == "debug_channels":
+            shape, out = make_debug_channels()
             print(f"{name}: {shape} -> {out} ({time.time() - t0:.1f}s)")
             continue
         with tempfile.TemporaryDirectory() as tmp:
