@@ -242,6 +242,9 @@ def main():
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     steps = int(os.environ.get("BENCH_STEPS", 4))
+    # Samples per pixel traced INSIDE each dispatch (pixel slice shrinks to
+    # keep ray count per dispatch constant) — the fixed-cost amortization A/B.
+    spp = int(os.environ.get("BENCH_SPP", 1))
 
     ptscene, meta, settings, params, c2w, n_tris = build_bench_scene(width, height)
     scene_s = time.time() - t_setup
@@ -249,7 +252,8 @@ def main():
 
     def trace_j(sc, c, s):
         return pt.trace_chunked(
-            sc, meta, settings, params, c, (width, height), s, with_stats=True
+            sc, meta, settings, params, c, (width, height), s, with_stats=True,
+            spp=spp,
         )
 
     # Warmup / compile.
@@ -297,6 +301,7 @@ def main():
                     "resolution": [width, height],
                     "triangles": n_tris,
                     "steps": steps,
+                    "spp_per_dispatch": spp,
                     "elapsed_s": round(elapsed, 3),
                     "rays": total_rays,
                     "setup_s": round(setup_s, 1),

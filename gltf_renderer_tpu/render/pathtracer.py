@@ -1178,31 +1178,59 @@ def trace_chunked(
     seed,
     with_stats: bool = False,
     chunk: int = RAY_CHUNK,
+    spp: int = 1,
 ):
     """Host-driven chunked trace: one jitted dispatch per RAY_CHUNK rays.
 
     Unlike the lax.map path inside trace(), each chunk is a separate device
     dispatch — long frames stay responsive and each execution stays well under
     runtime watchdog limits; XLA pipelines consecutive dispatches.
+
+    spp > 1 traces that many independent samples per pixel IN THE SAME
+    dispatch (the pixel slice shrinks to chunk/spp so each dispatch stays
+    under the stability ceiling) and returns their mean — amortizing the
+    ~110 fixed-cost ops per chunk over spp x the rays
+    (docs/PERFORMANCE.md "honest dispatch floor"). Sample k's rays are keyed
+    by seed + k*0x9E3779B9, the same schedule as the sample-axis sharding,
+    so the mean is the sharded n_sample render on one chip. Equivalent of
+    the reference's progressive accumulation loop (Pathtracer.cpp:344-362)
+    run spp times, fused into one launch.
     """
     global _trace_rays_jit
     if _trace_rays_jit is None:
         _trace_rays_jit = jax.jit(_trace_rays, static_argnums=(1, 2, 5))
     w, h = resolution
+    assert chunk % spp == 0, (chunk, spp)
+    chunk_pix = chunk // spp
     px_f, py_f, valid_f = _tile_order(w, h)
     n = px_f.shape[0]
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-    px_p = np.concatenate([px_f, np.zeros(pad, px_f.dtype)]).reshape(n_chunks, chunk)
-    py_p = np.concatenate([py_f, np.zeros(pad, py_f.dtype)]).reshape(n_chunks, chunk)
-    va_p = np.concatenate([valid_f, np.zeros(pad, bool)]).reshape(n_chunks, chunk)
+    n_chunks = -(-n // chunk_pix)
+    pad = n_chunks * chunk_pix - n
+    px_p = np.concatenate([px_f, np.zeros(pad, px_f.dtype)]).reshape(n_chunks, chunk_pix)
+    py_p = np.concatenate([py_f, np.zeros(pad, py_f.dtype)]).reshape(n_chunks, chunk_pix)
+    va_p = np.concatenate([valid_f, np.zeros(pad, bool)]).reshape(n_chunks, chunk_pix)
+    if spp > 1:
+        seed_vec = jnp.repeat(
+            jnp.asarray(seed, jnp.uint32)
+            + jnp.arange(spp, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9),
+            chunk_pix,
+        )
     outs = []
     rays_total = []
     for c in range(n_chunks):
-        col, rays = _trace_rays_jit(
-            scene, meta, settings, params, clip_to_world, (w, h), seed,
-            jnp.asarray(px_p[c]), jnp.asarray(py_p[c]), jnp.asarray(va_p[c]),
-        )
+        if spp > 1:
+            col, rays = _trace_rays_jit(
+                scene, meta, settings, params, clip_to_world, (w, h), seed_vec,
+                jnp.asarray(np.tile(px_p[c], spp)),
+                jnp.asarray(np.tile(py_p[c], spp)),
+                jnp.asarray(np.tile(va_p[c], spp)),
+            )
+            col = col.reshape(spp, chunk_pix, 3).mean(0)
+        else:
+            col, rays = _trace_rays_jit(
+                scene, meta, settings, params, clip_to_world, (w, h), seed,
+                jnp.asarray(px_p[c]), jnp.asarray(py_p[c]), jnp.asarray(va_p[c]),
+            )
         outs.append(col)
         rays_total.append(rays)
     color = _from_tile_order(jnp.concatenate(outs, 0)[:n], w, h)

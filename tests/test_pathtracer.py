@@ -90,6 +90,58 @@ def test_pt_debug_outputs(box_setup):
             assert img.max() > 0, dbg  # something visible
 
 
+def test_pt_spp_batched_dispatch(box_setup):
+    """trace_chunked(spp=k) == mean of the k per-seed renders (the sample-
+    axis seed schedule), and ray stats sum over samples — the fixed-cost
+    amortization path must not change the estimator."""
+    ptscene, meta, cam = box_setup
+    settings = S.PathTracerSettings(max_bounces=2, min_bounces=1)
+    params = S.PathTracerParams(environment_color=(0.3, 0.3, 0.3))
+    c2w = jnp.asarray(cam.clip_to_world())
+    res = (32, 32)
+
+    seeds = [7, (7 + 0x9E3779B9) & 0xFFFFFFFF]
+    singles = []
+    rays_single = 0.0
+    for s in seeds:
+        img, st = pt.trace_chunked(
+            ptscene, meta, settings, params, c2w, res, jnp.uint32(s),
+            with_stats=True,
+        )
+        singles.append(np.asarray(img))
+        rays_single += float(st[0])
+
+    batched, st_b = pt.trace_chunked(
+        ptscene, meta, settings, params, c2w, res, jnp.uint32(7),
+        with_stats=True, spp=2,
+    )
+    np.testing.assert_allclose(np.asarray(batched), np.mean(singles, 0), atol=2e-5)
+    assert abs(float(st_b[0]) - rays_single) < 1e-3
+
+
+def test_pt_spp_chunk_boundary(box_setup):
+    """spp path with a chunk smaller than the pixel stream: padding +
+    per-chunk sample tiling must still reproduce the mean estimator."""
+    ptscene, meta, cam = box_setup
+    settings = S.PathTracerSettings(max_bounces=1, min_bounces=1,
+                                    environment_map=False)
+    params = S.PathTracerParams(environment_color=(0.1, 0.1, 0.1))
+    c2w = jnp.asarray(cam.clip_to_world())
+    res = (48, 48)  # tile-order stream = 4 padded 32x32 blocks = 4096 px
+
+    singles = []
+    for s in [3, (3 + 0x9E3779B9) & 0xFFFFFFFF]:
+        singles.append(np.asarray(pt.trace_chunked(
+            ptscene, meta, settings, params, c2w, res, jnp.uint32(s),
+            chunk=2048,
+        )))
+    batched = pt.trace_chunked(
+        ptscene, meta, settings, params, c2w, res, jnp.uint32(3),
+        chunk=2048, spp=2,
+    )
+    np.testing.assert_allclose(np.asarray(batched), np.mean(singles, 0), atol=2e-5)
+
+
 def test_pt_accumulation():
     hist = jnp.zeros((4, 4, 3))
     f1 = jnp.ones((4, 4, 3))
