@@ -74,6 +74,8 @@ class PTScene(NamedTuple):
     wide_maps: Any = None    # bvh_ops.WideMaps (static child map, for refits)
     leaf_records: Any = None  # (L, REC_GEO) kernel leaf geometry (compact —
     leaf_words: Any = None    # only leaf rows resident in VMEM, not all nodes)
+    occluder_idx: Any = None  # (K,) largest-area opaque tri ids (-1 pad) for
+    # the MXU shadow/bounce proxy prepass (GLTF_TPU_SHADOWPRE)
 
 
 class PTMeta(NamedTuple):
@@ -90,6 +92,8 @@ class PTMeta(NamedTuple):
     has_transmission: bool = True  # the scene uses compile to nothing
     has_alpha_layer: bool = True   # any MASK/BLEND material (alpha < 1 possible)
     wide_root: int = 0       # stack seed for the wide packet kernel
+    shadow_prepass: bool = False  # proxy-occluder MXU prepass (see
+    # _proxy_occlusion; GLTF_TPU_SHADOWPRE=1 enables)
 
 
 # Pallas packet kernel needs nodes + compact leaf records resident in VMEM.
@@ -397,6 +401,28 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET,
         wide_root=wide_root,
     )
+    # Proxy occluders for the shadow/bounce prepass (GLTF_TPU_SHADOWPRE=1,
+    # optionally =K): the K largest-area STRICTLY OPAQUE triangles — valid
+    # certain-occluders in every shadow mode (binary occludes on any
+    # geometry; alpha shadows composite opaque hits to transmission 0) and
+    # valid closest-hit caps (never alpha-rejected by the retry loop).
+    # Indices are static per topology; vertices re-gather per frame, so
+    # refits/skinning stay correct.
+    occluder_idx = None
+    pre_env = os.environ.get("GLTF_TPU_SHADOWPRE", "0")
+    if pre_env != "0":
+        k_occ = 64 if pre_env == "1" else int(pre_env)
+        areas = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+        eligible = (am == T.ALPHA_MODE_OPAQUE) & ~transmissive
+        scored = np.where(eligible, areas, -1.0)
+        cand = np.argsort(-scored)[:k_occ]
+        cand = np.where(scored[cand] > 0.0, cand, -1).astype(np.int32)
+        if cand.shape[0] < k_occ:
+            cand = np.concatenate(
+                [cand, np.full(k_occ - cand.shape[0], -1, np.int32)]
+            )
+        occluder_idx = jnp.asarray(cand)
+        meta = meta._replace(shadow_prepass=True)
     scene = PTScene(
         world=world,
         bvh=bvh_ops._as_device(tree),
@@ -410,6 +436,7 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         wide_maps=wide_maps,
         leaf_records=leaf_records,
         leaf_words=leaf_words,
+        occluder_idx=occluder_idx,
     )
     return scene, meta
 
@@ -607,6 +634,82 @@ def _hit_base_alpha(scene: PTScene, meta: PTMeta, tri, u, v):
     return base[..., 3], mrow
 
 
+def _proxy_occlusion(scene, origin, direction, t_min, t_max, want_tcap=False):
+    """Brute-force ray tests against the K proxy occluder triangles as ONE
+    MXU matmul — the shadow/bounce prepass (GLTF_TPU_SHADOWPRE).
+
+    Moller-Trumbore's det, u*det, v*det, t*det are all bilinear in (o, d):
+      det    = -d.n                    (n = e1 x e2)
+      u*det  =  d.([e2]x o) - d.(e2 x v0)
+      v*det  = -d.([e1]x o) - d.(v0 x e1)
+      t*det  =  o.n - v0.n
+    so a (R, 16) ray-feature matrix F = [o, d, d_i*o_k (9), 1] times a
+    per-scene (16, 4K) coefficient matrix yields every quantity for every
+    (ray, tri) pair in one f32-HIGHEST matmul (~2 GFLOP at K=64/262k rays
+    — MXU noise next to an 80+ ms shadow dispatch). Hit classification uses
+    a RELATIVE margin so rounding can only produce false MISSES: a lane is
+    declared occluded (or capped) only when the hit is numerically certain,
+    and unmarked lanes traverse normally — the prepass is conservative and
+    cannot change the image.
+
+    Returns (occluded (R,) bool, t_cap (R,) f32) — t_cap is +inf where no
+    certain proxy hit exists (only computed when want_tcap).
+    """
+    idx = scene.occluder_idx
+    tv = scene.world.tri_vertex[jnp.clip(idx, 0, None)]
+    v0 = scene.world.position[tv[:, 0]]
+    p1 = scene.world.position[tv[:, 1]]
+    p2 = scene.world.position[tv[:, 2]]
+    pad = (idx < 0)[:, None]
+    e1 = jnp.where(pad, 0.0, p1 - v0)   # degenerate pad rows: det == 0, no hit
+    e2 = jnp.where(pad, 0.0, p2 - v0)
+    n = cross(e1, e2)
+    k = idx.shape[0]
+
+    def skew(a):  # (K,3) -> (K,3,3) with skew(a) @ x == a x x
+        z = jnp.zeros_like(a[:, 0])
+        return jnp.stack([
+            jnp.stack([z, -a[:, 2], a[:, 1]], -1),
+            jnp.stack([a[:, 2], z, -a[:, 0]], -1),
+            jnp.stack([-a[:, 1], a[:, 0], z], -1),
+        ], -2)
+
+    c = jnp.zeros((16, k, 4), jnp.float32)
+    c = c.at[3:6, :, 0].set(-n.T)                                  # det
+    c = c.at[3:6, :, 1].set(-cross(e2, v0).T)                      # u*det: d term
+    c = c.at[6:15, :, 1].set(skew(e2).transpose(1, 2, 0).reshape(9, k))
+    c = c.at[3:6, :, 2].set(-cross(v0, e1).T)                      # v*det: d term
+    c = c.at[6:15, :, 2].set(-skew(e1).transpose(1, 2, 0).reshape(9, k))
+    c = c.at[0:3, :, 3].set(n.T)                                   # t*det
+    c = c.at[15, :, 3].set(-jnp.sum(v0 * n, -1))
+
+    o, d = origin, direction
+    feats = jnp.concatenate(
+        [o, d, (d[:, :, None] * o[:, None, :]).reshape(-1, 9),
+         jnp.ones((o.shape[0], 1), jnp.float32)], -1,
+    )
+    g = jax.lax.dot_general(
+        feats, c.reshape(16, k * 4), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, k, 4)
+    det, ud, vd, td = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+    s = jnp.sign(det)
+    ad = jnp.abs(det)
+    margin = 1e-5 * ad + 1e-30
+    us, vs, ts = ud * s, vd * s, td * s
+    hit = (
+        (ad > 1e-20)
+        & (us >= margin) & (vs >= margin) & (us + vs <= ad - margin)
+        & (ts >= t_min[:, None] * ad + margin)
+        & (ts <= t_max[:, None] * ad - margin)
+    )
+    occluded = jnp.any(hit, -1)
+    if not want_tcap:
+        return occluded, None
+    t_hit = jnp.where(hit, td / jnp.where(ad > 1e-20, det, 1.0), jnp.inf)
+    return occluded, jnp.min(t_hit, -1)
+
+
 def trace_bounce_and_shadow(
     scene: PTScene, meta: PTMeta,
     o_b, d_b, tmin_b, tmax_b,       # next-bounce closest rays
@@ -621,14 +724,47 @@ def trace_bounce_and_shadow(
     Shadow half = ACCEPT_FIRST_HIT binary semantics (ShadowAnyHit,
     PathTracer.lib.hlsl:1053-1079); bounce half = closest hit with the
     masked-alpha retraversal loop. Returns (bounce Hit, shadow transmission).
+
+    With the proxy prepass (GLTF_TPU_SHADOWPRE): shadow lanes certainly
+    occluded by a big opaque triangle are killed BEFORE the dispatch (their
+    packets terminate after one root test in tile order), and bounce lanes
+    get t_max capped at a certain proxy hit — seeding t_best so traversal
+    prunes everything beyond the floor/wall the ray will land on. Both are
+    conservative: the image is bit-identical (tests pin it).
     """
+    occ_s = None
+    if meta.shadow_prepass and scene.occluder_idx is not None:
+        r_s = o_s.shape[0]
+        tmax_s = jnp.broadcast_to(tmax_s, (r_s,))
+        occ_s, _ = _proxy_occlusion(
+            scene, o_s, d_s, jnp.broadcast_to(tmin_s, (r_s,)), tmax_s
+        )
+        tmin_s = jnp.where(occ_s, tmax_s + 1.0, tmin_s)
+        if trace_bounce and cull_sign == 0:
+            r_b = o_b.shape[0]
+            tmax_bb = jnp.broadcast_to(tmax_b, (r_b,))
+            _occ_b, tcap = _proxy_occlusion(
+                scene, o_b, d_b, jnp.broadcast_to(tmin_b, (r_b,)), tmax_bb,
+                want_tcap=True,
+            )
+            # Cap just past the certain hit so traversal still finds it.
+            tmax_b = jnp.where(
+                jnp.isfinite(tcap),
+                jnp.minimum(tmax_bb, tcap * (1.0 + 2e-4) + 1e-5),
+                tmax_bb,
+            )
+
+    def overlay(trans):
+        return trans if occ_s is None else jnp.where(occ_s, 0.0, trans)
+
     def shadow_only():
         # Env shadow rays: direction-octant ordering only (no origin major —
-        # measured 82 vs 130 ms, see _octant_positions).
-        return trace_shadow(
+        # measured 82 vs 130 ms, see _octant_positions). Prepass already ran
+        # above (lanes killed via tmin_s), so trace_shadow skips its own.
+        return overlay(trace_shadow(
             scene, meta, o_s, d_s, tmax_s, alpha_shadow=False,
-            active=tmin_s <= tmax_s, sort_spatial=None,
-        )
+            active=tmin_s <= tmax_s, sort_spatial=None, prepass=False,
+        ))
 
     if not trace_bounce:
         r = o_b.shape[0]
@@ -664,7 +800,7 @@ def trace_bounce_and_shadow(
     )
     hit = bvh_ops.Hit(t=hit2.t[:r], tri=hit2.tri[:r], u=hit2.u[:r], v=hit2.v[:r])
     occluded = hit2.tri[r:] >= 0
-    trans = jnp.where(occluded, 0.0, 1.0)
+    trans = overlay(jnp.where(occluded, 0.0, 1.0))
     if meta.has_masked:
         hit = _alpha_retry(scene, meta, hit, o_b, d_b, tmin_b, tmax_b,
                            cull_sign, True, sort_spatial)
@@ -733,18 +869,32 @@ def _needs_alpha_retry(scene: PTScene, meta: PTMeta, hit: bvh_ops.Hit):
 
 
 def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_shadow: bool,
-                 active=None, sort_spatial=None):
+                 active=None, sort_spatial=None, prepass=True):
     """TraceShadowRay port (PathTracer.lib.hlsl:724-742). Returns transmission.
 
     Binary mode: ACCEPT_FIRST_HIT + initial transmission 0 — ANY geometry
     occludes (including alpha=0 texels; see ShadowAnyHit:1053-1079 semantics).
     Alpha mode: transmission = prod(1 - alpha) over surfaces until opaque.
+    An opaque proxy-prepass hit (GLTF_TPU_SHADOWPRE) forces transmission 0 in
+    BOTH modes and retires the lane before traversal.
     """
     n = origin.shape[0]
     fzero = origin[:, 0] * 0.0  # varying-axes-correct zero under shard_map
     t_min = fzero
     if active is None:
         active = fzero == 0.0
+    occ_pre = None
+    if prepass and meta.shadow_prepass and scene.occluder_idx is not None:
+        t_max_b = jnp.broadcast_to(t_max, (n,))
+        occ_pre, _ = _proxy_occlusion(
+            scene, origin, direction,
+            jnp.where(active, t_min, t_max_b + 1.0), t_max_b,
+        )
+        active = active & ~occ_pre
+
+    def overlay(trans):
+        return trans if occ_pre is None else jnp.where(occ_pre, 0.0, trans)
+
     if not alpha_shadow:
         eff_tmin = jnp.where(active, t_min, t_max + 1.0)
         if meta.use_pallas:
@@ -757,7 +907,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
             occluded = hit.tri >= 0
         else:
             occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
-        return jnp.where(occluded, 0.0, 1.0)
+        return overlay(jnp.where(occluded, 0.0, 1.0))
 
     def cond(state):
         alive, _trans, _tmin, it = state
@@ -781,7 +931,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     alive0 = active
     trans0 = fzero + 1.0
     _, trans, _, _ = jax.lax.while_loop(cond, body, (alive0, trans0, t_min, 0))
-    return trans
+    return overlay(trans)
 
 
 # ---------------------------------------------------------------------------

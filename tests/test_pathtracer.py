@@ -142,6 +142,120 @@ def test_pt_spp_chunk_boundary(box_setup):
     np.testing.assert_allclose(np.asarray(batched), np.mean(singles, 0), atol=2e-5)
 
 
+def test_proxy_occlusion_matches_brute_force():
+    """_proxy_occlusion's MXU bilinear formulation == numpy Moller-Trumbore
+    (hits only where MT clearly hits; margin misses allowed, false hits not)."""
+    rs = np.random.RandomState(11)
+    k, r = 16, 512
+    v0 = rs.uniform(-2, 2, (k, 3)).astype(np.float32)
+    e1 = rs.uniform(-1.5, 1.5, (k, 3)).astype(np.float32)
+    e2 = rs.uniform(-1.5, 1.5, (k, 3)).astype(np.float32)
+    o = rs.uniform(-3, 3, (r, 3)).astype(np.float32)
+    d = rs.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_min = np.zeros(r, np.float32)
+    t_max = np.full(r, 10.0, np.float32)
+
+    # numpy MT reference
+    n = np.cross(e1, e2)
+    hit_ref = np.zeros((r, k), bool)
+    t_ref = np.full((r, k), np.inf, np.float32)
+    for j in range(k):
+        pv = np.cross(d, e2[j])
+        det = (e1[j] * pv).sum(-1)
+        tv = o - v0[j]
+        u = (tv * pv).sum(-1)
+        qv = np.cross(tv, e1[j])
+        v = (d * qv).sum(-1)
+        t = (e2[j] * qv).sum(-1)
+        s = np.sign(det)
+        ad = np.abs(det)
+        ok = (ad > 1e-20) & (u * s >= 0) & (v * s >= 0) & ((u + v) * s <= ad)
+        tt = np.where(ok & (ad > 0), t / np.where(ad > 0, det, 1.0), np.inf)
+        ok &= (tt > t_min) & (tt < t_max)
+        hit_ref[:, j] = ok
+        t_ref[:, j] = np.where(ok, tt, np.inf)
+
+    # Build a minimal scene carrying just the fields _proxy_occlusion reads.
+    class _W:
+        tri_vertex = jnp.arange(3 * k, dtype=jnp.int32).reshape(k, 3)
+        position = jnp.asarray(
+            np.stack([v0, v0 + e1, v0 + e2], 1).reshape(3 * k, 3)
+        )
+
+    class _Sc:
+        world = _W()
+        occluder_idx = jnp.arange(k, dtype=jnp.int32)
+
+    occ, tcap = pt._proxy_occlusion(
+        _Sc(), jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), want_tcap=True,
+    )
+    occ = np.asarray(occ)
+    tcap = np.asarray(tcap)
+    ref_any = hit_ref.any(-1)
+    # No false hits ever; margin may drop boundary-grazing true hits only.
+    assert not np.any(occ & ~ref_any)
+    agree = occ == ref_any
+    assert agree.mean() > 0.98, agree.mean()
+    # Where both agree on a hit, the cap matches the closest MT t.
+    both = occ & ref_any
+    np.testing.assert_allclose(
+        tcap[both], t_ref.min(-1)[both], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_shadow_prepass_image_identical(tmp_path, monkeypatch):
+    """GLTF_TPU_SHADOWPRE must not change the rendered image (conservative
+    prepass): box scene (opaque walls, punctual light + env NEE, 2 bounces)
+    rendered with and without the knob, compared exactly."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    scene, world, lights = _load_world(path)
+    mats = jax.tree.map(jnp.asarray, scene.materials)
+    texs = jax.tree.map(jnp.asarray, scene.textures)
+    lts = jax.tree.map(jnp.asarray, lights)
+
+    ptscene_off, meta_off = pt.make_pt_scene(world, mats, texs, lts)
+    monkeypatch.setenv("GLTF_TPU_SHADOWPRE", "8")
+    ptscene_on, meta_on = pt.make_pt_scene(world, mats, texs, lts)
+    assert meta_on.shadow_prepass and not meta_off.shadow_prepass
+    assert int((np.asarray(ptscene_on.occluder_idx) >= 0).sum()) > 0
+
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=1.0, z_near=0.01)
+    cam.world_to_view = look_at([0.0, -2.5, 1.2], [0.0, 0.0, 0.0])
+    settings = S.PathTracerSettings(max_bounces=2, min_bounces=1)
+    for alpha_sh in (False, True):
+        st = S.PathTracerSettings(
+            max_bounces=2, min_bounces=1, alpha_shadows=alpha_sh
+        )
+        img_off = _render(ptscene_off, meta_off, cam, st, res=32)
+        img_on = _render(ptscene_on, meta_on, cam, st, res=32)
+        np.testing.assert_allclose(img_on, img_off, atol=1e-6, rtol=0)
+
+
+def test_shadow_prepass_masked_scene_identical(tmp_path, monkeypatch):
+    """Prepass parity on MASKED geometry (foliage): opaque-only proxies must
+    compose exactly with the alpha-retry loops and alpha shadows."""
+    from gltf_renderer_tpu.scene.procedural import write_foliage_gltf
+
+    path = write_foliage_gltf(str(tmp_path / "foliage.gltf"), tex_size=16)
+    scene, world, lights = _load_world(path)
+    mats = jax.tree.map(jnp.asarray, scene.materials)
+    texs = jax.tree.map(jnp.asarray, scene.textures)
+    lts = jax.tree.map(jnp.asarray, lights)
+    ptscene_off, meta_off = pt.make_pt_scene(world, mats, texs, lts)
+    monkeypatch.setenv("GLTF_TPU_SHADOWPRE", "8")
+    ptscene_on, meta_on = pt.make_pt_scene(world, mats, texs, lts)
+    assert meta_off.has_masked and meta_on.shadow_prepass
+
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=1.0, z_near=0.01)
+    cam.world_to_view = look_at([0.0, -3.0, 1.5], [0.0, 0.0, 0.5])
+    st = S.PathTracerSettings(max_bounces=2, min_bounces=1, alpha_shadows=True)
+    img_off = _render(ptscene_off, meta_off, cam, st, res=24)
+    img_on = _render(ptscene_on, meta_on, cam, st, res=24)
+    np.testing.assert_allclose(img_on, img_off, atol=1e-6, rtol=0)
+
+
 def test_pt_accumulation():
     hist = jnp.zeros((4, 4, 3))
     f1 = jnp.ones((4, 4, 3))
