@@ -332,8 +332,9 @@ def read_exr(path: str) -> np.ndarray:
 
 def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = False):
     """Scanline EXR writer for tests/tools. compression: 0=none, 1=rle,
-    2=zips, 3=zip, 5=pxr24 (floats truncated to 24 bits, halves lossless)."""
-    if compression not in (0, 1, 2, 3, 5):
+    2=zips, 3=zip, 4=piz, 5=pxr24 (floats truncated to 24 bits, halves
+    lossless)."""
+    if compression not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"write_exr: unsupported compression {compression}")
     image = np.asarray(image, np.float16 if half else np.float32)
     h, w = image.shape[:2]
@@ -341,7 +342,7 @@ def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = F
     names = ["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
     chans = sorted(names)
     ctype = 1 if half else 2
-    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 5: 16}[compression]
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}[compression]
 
     def attr(name, atype, payload):
         return name.encode() + b"\x00" + atype.encode() + b"\x00" + struct.pack("<I", len(payload)) + payload
@@ -379,6 +380,10 @@ def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = F
             enc = _rle_compress(_zip_forward(raw))
         elif compression in (2, 3):
             enc = zlib.compress(_zip_forward(raw))
+        elif compression == 4:
+            from gltf_renderer_tpu.env.piz import piz_compress
+
+            enc = piz_compress(raw, channels_sorted, w, n_lines)
         elif compression == 5:
             enc = _pxr24_compress(raw, channels_sorted, w, n_lines)
         else:

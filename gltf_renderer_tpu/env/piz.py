@@ -284,7 +284,11 @@ def wav2_decode(a: np.ndarray, nx: int, ox: int, ny: int, oy: int, mx: int):
 
 def reverse_lut_from_bitmap(bitmap: np.ndarray):
     """lut[compact] = original value. Value 0 is ALWAYS included
-    (ImfPizCompressor reverseLutFromBitmap: i == 0 || bitmap bit set)."""
+    (ImfPizCompressor reverseLutFromBitmap: i == 0 || bitmap bit set).
+
+    Returns (lut, k) with k = number of present values; OpenEXR's
+    maxValue — the wdec14/wdec16 selector passed to wav2Decode — is k-1
+    (the largest COMPACTED index), NOT any per-plane data maximum."""
     bits = np.unpackbits(bitmap, bitorder="little")
     bits = bits[: 1 << 16].copy()
     bits[0] = 1
@@ -310,7 +314,8 @@ def piz_uncompress(raw: bytes, channels, width: int, n_lines: int) -> bytes:
         n = max_nz - min_nz + 1
         bitmap[min_nz : max_nz + 1] = np.frombuffer(raw, np.uint8, n, pos)
         pos += n
-    lut, _ = reverse_lut_from_bitmap(bitmap)
+    lut, k_present = reverse_lut_from_bitmap(bitmap)
+    max_value = k_present - 1  # wav2Decode's wdec14/wdec16 selector
 
     (length,) = struct.unpack_from("<i", raw, pos)
     pos += 4
@@ -327,19 +332,20 @@ def piz_uncompress(raw: bytes, channels, width: int, n_lines: int) -> bytes:
 
     data = huf_uncompress(raw[pos : pos + length], total)
 
-    # Wavelet-decode each channel plane, then apply LUT.
+    # Wavelet-decode each channel plane, then apply LUT. 32-bit channels
+    # (float/uint, size 2) are TWO interleaved u16 fields — OpenEXR runs
+    # wav2Decode once per 16-bit slice j with ox = size, oy = nx*size
+    # (ImfPizCompressor::uncompress), NOT one wavelet over 2x the columns.
     offset = 0
     planes = {}
     for name, ptype, n16, count in chan_info:
         plane = data[offset : offset + count].copy()
         offset += count
-        # For half: one plane (ny, nx). For float/uint: stored as nx*2 u16s/px.
-        nx = width * n16
         ny = n_lines
-        maxv = int(plane.max()) if len(plane) else 0
-        wav2_decode(plane, nx, 1, ny, nx, maxv)
+        for j in range(n16):
+            wav2_decode(plane[j:], width, n16, ny, width * n16, max_value)
         plane = lut[plane]
-        planes[name] = (plane.reshape(ny, nx), ptype, n16)
+        planes[name] = (plane.reshape(ny, width * n16), ptype, n16)
 
     # Interleave to EXR scanline layout: per line, channels alphabetical.
     out = bytearray()
@@ -347,4 +353,248 @@ def piz_uncompress(raw: bytes, channels, width: int, n_lines: int) -> bytes:
         for name, ptype, n16, count in chan_info:
             plane, _, _ = planes[name]
             out += plane[y].tobytes()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PIZ encoder (tests/tools only — decodable by piz_uncompress and by any
+# OpenEXR reader; run codes, zero-run table packing and both wavelet
+# transforms mirror ImfHuf.cpp / ImfWav.cpp)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.lc = 0
+
+    def put_bits(self, val: int, n: int):
+        self.c = (self.c << n) | (val & ((1 << n) - 1))
+        self.lc += n
+        while self.lc >= 8:
+            self.lc -= 8
+            self.out.append((self.c >> self.lc) & 0xFF)
+
+    @property
+    def bit_count(self) -> int:
+        return len(self.out) * 8 + self.lc
+
+    def pad_to_byte(self):
+        if self.lc:
+            self.out.append((self.c << (8 - self.lc)) & 0xFF)
+            self.c = 0
+            self.lc = 0
+
+    def bytes(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.out)
+
+
+def _wenc14(a, b):
+    a_s = int(a) - 65536 if a >= 32768 else int(a)
+    b_s = int(b) - 65536 if b >= 32768 else int(b)
+    ms = (a_s + b_s) >> 1
+    ds = a_s - b_s
+    return np.uint16(ms & MOD_MASK), np.uint16(ds & MOD_MASK)
+
+
+def _wenc16(a, b):
+    ao = (int(a) + A_OFFSET) & MOD_MASK
+    m = (ao + int(b)) >> 1
+    d = ao - int(b)
+    if d < 0:
+        m = (m + M_OFFSET) & MOD_MASK
+    return np.uint16(m & MOD_MASK), np.uint16(d & MOD_MASK)
+
+
+def wav2_encode(a: np.ndarray, nx: int, ox: int, ny: int, oy: int, mx: int):
+    """Forward 2D wavelet (ImfWav.cpp wav2Encode). Exact inverse of
+    wav2_decode: horizontal pairs first, then vertical."""
+    w14 = mx < (1 << 14)
+    enc = _wenc14 if w14 else _wenc16
+    n = ny if nx > ny else nx
+    p = 1
+    p2 = 2
+    while p2 <= n:
+        row_step = p * oy
+        col_step = p * ox
+        y = 0
+        while y <= ny - p2:
+            x = 0
+            base_y = y * oy
+            while x <= nx - p2:
+                i00 = base_y + x * ox
+                i01 = i00 + col_step
+                i10 = i00 + row_step
+                i11 = i10 + col_step
+                v00, v01 = enc(a[i00], a[i01])
+                v10, v11 = enc(a[i10], a[i11])
+                a[i00], a[i10] = enc(v00, v10)
+                a[i01], a[i11] = enc(v01, v11)
+                x += p2
+            if nx & p:
+                i00 = base_y + (nx - p) * ox
+                i10 = i00 + row_step
+                a[i00], a[i10] = enc(a[i00], a[i10])
+            y += p2
+        if ny & p:
+            x = 0
+            base_y = (ny - p) * oy
+            while x <= nx - p2:
+                i00 = base_y + x * ox
+                i01 = i00 + col_step
+                a[i00], a[i01] = enc(a[i00], a[i01])
+                x += p2
+        p = p2
+        p2 <<= 1
+    return a
+
+
+def _build_code_lengths(freq: np.ndarray) -> np.ndarray:
+    """Huffman code lengths from symbol frequencies (heap merge)."""
+    import heapq
+    import itertools
+
+    lens = np.zeros(len(freq), np.int64)
+    idx = np.nonzero(freq)[0]
+    if len(idx) == 0:
+        return lens
+    if len(idx) == 1:
+        lens[idx[0]] = 1
+        return lens
+    tb = itertools.count()  # tiebreak: heap never compares tree nodes
+    heap = [(int(freq[i]), next(tb), (int(i),)) for i in idx]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, _, sa = heapq.heappop(heap)
+        fb, _, sb = heapq.heappop(heap)
+        lens[list(sa + sb)] += 1
+        heapq.heappush(heap, (fa + fb, next(tb), sa + sb))
+    return lens
+
+
+def _pack_enc_table(bw: _BitWriter, lengths: np.ndarray, im: int, iM: int):
+    """hufPackEncTable: 6-bit lengths with SHORT(59-62)/LONG(63) zero runs."""
+    i = im
+    while i <= iM:
+        l = int(lengths[i])
+        if l == 0:
+            run = 1
+            while i + run <= iM and run < 261 and lengths[i + run] == 0:
+                run += 1
+            if run >= 6:
+                bw.put_bits(63, 6)
+                bw.put_bits(run - 6, 8)
+                i += run
+                continue
+            if run >= 2:
+                bw.put_bits(59 + run - 2, 6)
+                i += run
+                continue
+        bw.put_bits(l, 6)
+        i += 1
+
+
+def huf_compress(data: np.ndarray) -> bytes:
+    """ImfHuf.cpp hufCompress: frequency count, canonical table (with the
+    rlc pseudo-symbol at iM = max+1), packed table + run-coded bitstream."""
+    data = np.asarray(data, np.uint16)
+    freq = np.bincount(data, minlength=HUF_ENCSIZE).astype(np.int64)
+    im = int(np.nonzero(freq)[0][0]) if freq.any() else 0
+    iM = int(np.nonzero(freq)[0][-1]) if freq.any() else 0
+    iM += 1              # run-length pseudo-symbol
+    freq[iM] = 1
+    lengths = _build_code_lengths(freq)
+    hcode = lengths.copy()
+    _build_canonical_codes(hcode)
+
+    bw = _BitWriter()
+    _pack_enc_table(bw, lengths, im, iM)
+    bw.pad_to_byte()
+    table_bytes = len(bw.out)
+
+    def send(sym):
+        code = int(hcode[sym])
+        bw.put_bits(code >> 6, code & 63)
+
+    n = len(data)
+    i = 0
+    while i < n:
+        sym = int(data[i])
+        send(sym)
+        run = 0
+        while i + 1 + run < n and run < 255 and int(data[i + 1 + run]) == sym:
+            run += 1
+        # Emit a run code when it's shorter than repeating the symbol code.
+        if run * (int(hcode[sym]) & 63) > (int(hcode[iM]) & 63) + 8 and run > 0:
+            send(iM)
+            bw.put_bits(run, 8)
+            i += 1 + run
+        else:
+            i += 1
+    nbits = bw.bit_count - table_bytes * 8
+    payload = bw.bytes()
+    head = struct.pack("<iiiii", im, iM, table_bytes, nbits, 0)
+    return head + payload
+
+
+def bitmap_from_data(data: np.ndarray):
+    """bitmapFromData: presence bits for every nonzero u16 value."""
+    present = np.zeros(1 << 16, bool)
+    present[data] = True
+    present[0] = False
+    bitmap = np.packbits(present, bitorder="little")
+    nz = np.nonzero(bitmap)[0]
+    if len(nz) == 0:
+        return bitmap, 1, 0  # empty range (minNz > maxNz)
+    return bitmap, int(nz[0]), int(nz[-1])
+
+
+def forward_lut_from_bitmap(bitmap: np.ndarray):
+    """forwardLutFromBitmap: lut[value] = compact index; returns max index."""
+    bits = np.unpackbits(bitmap, bitorder="little")[: 1 << 16].copy()
+    bits[0] = 1
+    present = np.nonzero(bits)[0]
+    lut = np.zeros(1 << 16, np.uint16)
+    lut[present] = np.arange(len(present), dtype=np.uint16)
+    return lut, len(present) - 1
+
+
+def piz_compress(raw: bytes, channels, width: int, n_lines: int) -> bytes:
+    """Compress one scanline block (inverse of piz_uncompress)."""
+    sizes = {0: 2, 1: 1, 2: 2}
+    chan_info = [(name, ptype, sizes[ptype]) for name, ptype in channels]
+    line_u16 = sum(width * n16 for _, _, n16 in chan_info)
+    flat = np.frombuffer(raw, np.uint16).copy()
+    assert len(flat) == line_u16 * n_lines, (len(flat), line_u16, n_lines)
+
+    # De-interleave scanlines into per-channel planes.
+    planes = []
+    pos = 0
+    rows = flat.reshape(n_lines, line_u16)
+    col = 0
+    for name, ptype, n16 in chan_info:
+        w16 = width * n16
+        planes.append(rows[:, col : col + w16].reshape(-1).copy())
+        col += w16
+
+    allv = np.concatenate(planes)
+    bitmap, min_nz, max_nz = bitmap_from_data(allv)
+    lut, max_value = forward_lut_from_bitmap(bitmap)
+
+    out = bytearray()
+    out += struct.pack("<HH", min_nz, max_nz)
+    if min_nz <= max_nz:
+        out += bitmap[min_nz : max_nz + 1].tobytes()
+
+    enc_planes = []
+    for (name, ptype, n16), plane in zip(chan_info, planes):
+        plane = lut[plane]
+        for j in range(n16):
+            wav2_encode(plane[j:], width, n16, n_lines, width * n16, max_value)
+        enc_planes.append(plane)
+    huf = huf_compress(np.concatenate(enc_planes))
+    out += struct.pack("<i", len(huf))
+    out += huf
     return bytes(out)

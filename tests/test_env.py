@@ -94,6 +94,40 @@ def test_exr_half_rle_roundtrip(tmp_path):
     np.testing.assert_array_equal(hdr_io.read_exr(p), img.astype(np.float32))
 
 
+def test_exr_piz_half_roundtrip(tmp_path):
+    """PIZ half channels: lossless, incl. a partial last 32-line block."""
+    img = _test_equirect(40, 32).astype(np.float16)
+    p = str(tmp_path / "tp.exr")
+    hdr_io.write_exr(p, img, compression=4, half=True)
+    np.testing.assert_array_equal(hdr_io.read_exr(p), img.astype(np.float32))
+
+
+def test_exr_piz_float_roundtrip(tmp_path):
+    """PIZ FLOAT channels exercise the per-16-bit-slice wavelet (ox=size) —
+    round 4 fixed the decoder's single-wavelet-over-2x-columns bug."""
+    img = _test_equirect(16, 32)  # float32
+    p = str(tmp_path / "tpf.exr")
+    hdr_io.write_exr(p, img, compression=4)
+    np.testing.assert_array_equal(hdr_io.read_exr(p), img)
+
+
+def test_exr_piz_wide_value_range(tmp_path):
+    """>=2^14 distinct half bit patterns forces the wdec16 wavelet branch —
+    round 4 fixed maxValue to the global compacted-LUT max (OpenEXR
+    semantics), not the per-plane data max."""
+    # Deterministic: every finite positive half bit pattern once, shuffled.
+    bits = np.arange(0x7C00, dtype=np.uint16)  # exponents 0..30, positive
+    rs = np.random.RandomState(3)
+    rs.shuffle(bits)
+    n = 96 * 110 * 3
+    vals = bits[:n].reshape(96, 110, 3).view(np.float16)
+    distinct = len(np.unique(vals.view(np.uint16)))
+    assert distinct >= (1 << 14), distinct
+    p = str(tmp_path / "tw.exr")
+    hdr_io.write_exr(p, vals, compression=4, half=True)
+    np.testing.assert_array_equal(hdr_io.read_exr(p), vals.astype(np.float32))
+
+
 @pytest.fixture(scope="module")
 def env():
     return E.build_environment(_test_equirect(), cube_size=64)

@@ -123,6 +123,33 @@ def test_raster_sharded_matches_single(tmp_path_factory):
     np.testing.assert_allclose(shard, single, atol=2e-5)
 
 
+def test_distributed_single_process_and_replicate(setup):
+    """Multi-host story (SURVEY §2.3): initialize() is a no-op single-
+    process; replicate() produces globally-replicated arrays that feed
+    render_sharded unchanged."""
+    from gltf_renderer_tpu.parallel import distributed
+
+    idx, count = distributed.initialize()
+    assert (idx, count) == (0, 1)
+
+    ptscene, meta, cam = setup
+    settings = S.PathTracerSettings(max_bounces=1, min_bounces=1, environment_map=False)
+    params = S.PathTracerParams()
+    c2w = jnp.asarray(cam.clip_to_world())
+    res = (32, 32)
+    mesh = sharding.make_mesh(n_sample=1, n_tile=8)
+    scene_g = distributed.replicate(ptscene, mesh)
+    leaf = scene_g.wide_nodes
+    assert leaf.sharding.is_fully_replicated
+    single = np.asarray(
+        pt.trace(ptscene, meta, settings, params, c2w, res, jnp.uint32(3))
+    )
+    shard = np.asarray(sharding.render_sharded(
+        scene_g, meta, settings, params, c2w, res, jnp.uint32(3), mesh
+    ))
+    np.testing.assert_allclose(shard, single, atol=2e-5)
+
+
 def test_sample_sharded_mean(setup):
     ptscene, meta, cam = setup
     settings = S.PathTracerSettings(max_bounces=1, min_bounces=1, environment_map=False)
