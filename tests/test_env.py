@@ -111,6 +111,32 @@ def test_exr_piz_float_roundtrip(tmp_path):
     np.testing.assert_array_equal(hdr_io.read_exr(p), img)
 
 
+def test_piz_native_matches_python():
+    """native/exr_piz.cpp must decode byte-identically to the pure-Python
+    reference path on half, float, and wide-value-range blocks."""
+    from gltf_renderer_tpu.env import piz
+
+    if piz._native_piz() is None:
+        pytest.skip("native lib unavailable")
+    rs = np.random.RandomState(7)
+    cases = []
+    h16 = rs.uniform(0, 4, (24, 20, 3)).astype(np.float16)
+    cases.append(([("B", 1), ("G", 1), ("R", 1)], h16.view(np.uint16), 20, 24))
+    f32 = rs.uniform(0, 4, (12, 20, 3)).astype(np.float32)
+    cases.append(([("B", 2), ("G", 2), ("R", 2)], f32.view(np.uint16), 20, 12))
+    bits = np.arange(0x7C00, dtype=np.uint16)
+    rs.shuffle(bits)
+    wide = bits[: 40 * 30 * 3].reshape(40, 30, 3)
+    cases.append(([("B", 1), ("G", 1), ("R", 1)], wide, 30, 40))
+    for channels, arr, w, n_lines in cases:
+        raw = arr.reshape(n_lines, -1).tobytes()
+        blob = piz.piz_compress(raw, channels, w, n_lines)
+        via_py = piz.piz_uncompress(blob, channels, w, n_lines, allow_native=False)
+        via_cc = piz.piz_uncompress(blob, channels, w, n_lines, allow_native=True)
+        assert via_py == raw
+        assert via_cc == raw
+
+
 def test_exr_piz_wide_value_range(tmp_path):
     """>=2^14 distinct half bit patterns forces the wdec16 wavelet branch —
     round 4 fixed maxValue to the global compacted-LUT max (OpenEXR
