@@ -89,26 +89,37 @@ POP = _default_pop()
 def _traverse_kernel(
     nodes_ref,    # (N4+1, 24) VMEM wide box rows (f32; last row = dummy)
     meta_ref,     # (N4+1, 4) VMEM wide child meta words (i32)
-    recs_ref,     # (N, REC_GEO) VMEM binary leaf geometry (f32)
-    words_ref,    # (N, LEAF_SIZE) VMEM id/flag words (i32)
+    recs_ref,     # (N, REC_GEO) leaf geometry (f32) — VMEM, or HBM/ANY when
+    words_ref,    # (N, LEAF_SIZE) id/flag words (i32)    leaf_hbm (DMA'd)
     ox_ref, oy_ref, oz_ref,       # (PACKET_ROWS, 128) VMEM
     dx_ref, dy_ref, dz_ref,
     tmin_ref, tmax_ref,
     *rest,
-    # rest = [mode_ref?] + outputs (t, u, v, word) + scratch (stack, queue)
+    # rest = [mode_ref?] + outputs (t, u, v, word) + scratch (stack, queue,
+    # [rec_buf, word_buf, dma_sem when leaf_hbm])
     root_meta: int,
     any_hit,      # True | False | "lane" (per-lane mode_ref input present)
     cull_sign: int,
     blend_mode: int,
     dummy_id: int,
+    leaf_hbm: bool = False,
 ):
     from gltf_renderer_tpu.ops.bvh import BLEND_EXCLUDE, BLEND_ONLY, FLAG_BLEND, FLAG_DOUBLE_SIDED
 
+    rec_buf = word_buf = dma_sem = None
     if any_hit == "lane":
-        mode_ref, t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
+        if leaf_hbm:
+            (mode_ref, t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref,
+             rec_buf, word_buf, dma_sem) = rest
+        else:
+            mode_ref, t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
     else:
         mode_ref = None
-        t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
+        if leaf_hbm:
+            (t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref,
+             rec_buf, word_buf, dma_sem) = rest
+        else:
+            t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
 
     big = jnp.float32(1e30)
 
@@ -219,15 +230,42 @@ def _traverse_kernel(
 
     def leaf_flush(qn, best, qbase, rays):
         """Test FLUSH buffered leaves (clamped duplicate reads pad short
-        queues — re-testing a leaf is idempotent for every accept rule)."""
+        queues — re-testing a leaf is idempotent for every accept rule).
+
+        leaf_hbm: leaf rows live in HBM; the FLUSH x 2 row copies all start
+        before the first wait, so their ~1-2 us DMA latencies overlap each
+        other (and the tail of the preceding descent run) instead of
+        serializing. Duplicate clamped reads re-copy a row — idempotent."""
         t_b, u_b, v_b, w_b = best
         t_min = rays["t_min"]
         t_cap = rays["t_cap"]
         lane_any = rays["lane_any"]
+        if leaf_hbm:
+            copies = []
+            for j in range(FLUSH):
+                leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
+                c_r = pltpu.make_async_copy(
+                    recs_ref.at[pl.ds(leaf, 1)], rec_buf.at[pl.ds(j, 1)],
+                    dma_sem.at[2 * j],
+                )
+                c_w = pltpu.make_async_copy(
+                    words_ref.at[pl.ds(leaf, 1)], word_buf.at[pl.ds(j, 1)],
+                    dma_sem.at[2 * j + 1],
+                )
+                c_r.start()
+                c_w.start()
+                copies.append((c_r, c_w))
+            for c_r, c_w in copies:
+                c_r.wait()
+                c_w.wait()
         for j in range(FLUSH):
-            leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
-            rrow = recs_ref[leaf, :]
-            wrow = words_ref[leaf, :]
+            if leaf_hbm:
+                rrow = rec_buf[j, :]
+                wrow = word_buf[j, :]
+            else:
+                leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
+                rrow = recs_ref[leaf, :]
+                wrow = words_ref[leaf, :]
             for k in range(LEAF_SIZE):
                 p0x, p0y, p0z = rrow[9 * k], rrow[9 * k + 1], rrow[9 * k + 2]
                 e1x, e1y, e1z = rrow[9 * k + 3], rrow[9 * k + 4], rrow[9 * k + 5]
@@ -355,7 +393,8 @@ def _traverse_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("root_meta", "any_hit", "cull_sign", "blend_mode", "interpret"),
+    static_argnames=("root_meta", "any_hit", "cull_sign", "blend_mode",
+                     "interpret", "leaf_hbm"),
 )
 def traverse_packets_wide(
     wide_nodes,  # (N4, 24) f32 box rows
@@ -372,6 +411,10 @@ def traverse_packets_wide(
     blend_mode: int = 0,
     interpret: bool = False,
     mode=None,   # (R,) int32: >0 = any-hit lane (any_hit == "lane" only)
+    leaf_hbm: bool = False,  # leaf records/words stay in HBM and are DMA'd
+    # per flush batch — lifts the VMEM ceiling from ~800k tris to HBM size
+    # (the 53 MB courtyard2 leaf table vs a 36 MB budget; nodes+meta for
+    # 1.1M tris are only ~5 MB and stay resident)
 ):
     """Packet traversal over all rays. Returns (t, tri_word, u, v) flat (R,).
 
@@ -421,6 +464,7 @@ def traverse_packets_wide(
         cull_sign=cull_sign,
         blend_mode=blend_mode,
         dummy_id=dummy_id,
+        leaf_hbm=leaf_hbm,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_pack * PACKET_ROWS, LANES), jnp.float32),
@@ -433,18 +477,28 @@ def traverse_packets_wide(
     if any_hit == "lane":
         extra = [prep(mode.astype(jnp.int32), 0)]
         n_ray_specs = 9
+    leaf_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY) if leaf_hbm else table_spec
+    )
+    scratch = [
+        # +1: index MAX_STACK / QCAP is the trash slot for parallel
+        # stores whose push bit is 0 (see descent_step).
+        pltpu.SMEM((MAX_STACK + 1,), jnp.int32),
+        pltpu.SMEM((QCAP + 1,), jnp.int32),
+    ]
+    if leaf_hbm:
+        scratch += [
+            pltpu.VMEM((FLUSH, records.shape[1]), jnp.float32),
+            pltpu.VMEM((FLUSH, words.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * FLUSH,)),
+        ]
     t, u, v, word = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec] * 4 + [ray_spec] * n_ray_specs,
+        in_specs=[table_spec] * 2 + [leaf_spec] * 2 + [ray_spec] * n_ray_specs,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[
-            # +1: index MAX_STACK / QCAP is the trash slot for parallel
-            # stores whose push bit is 0 (see descent_step).
-            pltpu.SMEM((MAX_STACK + 1,), jnp.int32),
-            pltpu.SMEM((QCAP + 1,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nodes_x, meta_x, records, words, ox, oy, oz, dx, dy, dz, tmn, tmx,

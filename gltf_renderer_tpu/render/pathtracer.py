@@ -94,6 +94,9 @@ class PTMeta(NamedTuple):
     wide_root: int = 0       # stack seed for the wide packet kernel
     shadow_prepass: bool = False  # proxy-occluder MXU prepass (see
     # _proxy_occlusion; GLTF_TPU_SHADOWPRE=1 enables)
+    leaf_hbm: bool = False   # packet kernel streams leaf rows from HBM via
+    # per-flush DMA — scenes whose LEAF tables bust the VMEM budget still
+    # run the packet kernel (nodes+meta stay resident)
 
 
 # Pallas packet kernel needs nodes + compact leaf records resident in VMEM.
@@ -215,6 +218,7 @@ def _packet_closest(scene, meta, origin, direction, t_min, t_max, blend_mode=0,
         root_meta=meta.wide_root,
         any_hit="lane" if mode is not None else any_hit,
         cull_sign=cull_sign, blend_mode=blend_mode, mode=mode,
+        leaf_hbm=meta.leaf_hbm,
     )
     tri = jnp.where(word >= 0, word & bvh_ops.ID_MASK, -1)
     return bvh_ops.Hit(t=t, tri=tri, u=u, v=v)
@@ -394,12 +398,30 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
     # per binary node; internal rows are zeros and would double the budget).
     leaf_records = jnp.asarray(np.asarray(packed.records)[wide_maps_np.leaf_ids])
     leaf_words = jnp.asarray(np.asarray(packed.words)[wide_maps_np.leaf_ids])
-    table_bytes = 4 * (
-        wide_maps.meta.size + leaf_records.size + leaf_words.size
-    ) + wide_nodes.size * wide_nodes.dtype.itemsize
+    leaf_bytes = 4 * (leaf_records.size + leaf_words.size)
+    node_bytes = (
+        4 * wide_maps.meta.size + wide_nodes.size * wide_nodes.dtype.itemsize
+    )
+    table_bytes = node_bytes + leaf_bytes
+    # Scenes whose LEAF tables bust the VMEM budget keep the packet kernel
+    # by leaving leaf rows in HBM (per-flush DMA): courtyard2-class (1.1M
+    # tris) has 53 MB of leaf records but only ~5 MB of nodes+meta. The DMA
+    # scratch (FLUSH rows) is noise. GLTF_TPU_LEAF_HBM=1 forces the HBM
+    # path on any scene (A/B knob); =0 disables (XLA wavefront fallback).
+    hbm_env = os.environ.get("GLTF_TPU_LEAF_HBM", "auto")
+    if hbm_env == "1":
+        leaf_hbm = True
+    elif hbm_env == "0":
+        leaf_hbm = False
+    else:
+        leaf_hbm = (
+            table_bytes > PALLAS_VMEM_BUDGET and node_bytes <= PALLAS_VMEM_BUDGET
+        )
+    fits = (table_bytes if not leaf_hbm else node_bytes) <= PALLAS_VMEM_BUDGET
     meta = meta._replace(
-        use_pallas=_pallas_available() and table_bytes <= PALLAS_VMEM_BUDGET,
+        use_pallas=_pallas_available() and fits,
         wide_root=wide_root,
+        leaf_hbm=leaf_hbm,
     )
     # Proxy occluders for the shadow/bounce prepass (GLTF_TPU_SHADOWPRE=1,
     # optionally =K): the K largest-area STRICTLY OPAQUE triangles — valid

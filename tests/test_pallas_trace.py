@@ -270,3 +270,50 @@ def test_bf16_conservative_boxes_same_hits():
     same = w16 == w32
     close = np.abs(t16 - t32) <= 1e-4 * np.maximum(np.abs(t32), 1.0)
     assert np.all(same | (hit & close))
+
+
+def test_leaf_hbm_matches_vmem():
+    """HBM-resident leaf mode (per-flush DMA of leaf rows) must return
+    bit-identical results to the all-VMEM kernel in every dispatch mode —
+    the path that lifts the VMEM ceiling for 1M+-tri scenes."""
+    from gltf_renderer_tpu.ops.pallas_trace import traverse_packets_wide
+
+    packed = _random_scene(600, seed=31)
+    o, d, t_min, t_max = _random_rays(4096, seed=32)
+
+    nodes_np = np.asarray(packed.nodes)
+    is_leaf = nodes_np[:, 6] >= 0.0
+    skip = nodes_np[:, 7].astype(np.int32)
+    n = nodes_np.shape[0]
+    right = np.full(n, -1, np.int32)
+    internal = ~is_leaf
+    right[internal] = skip[np.clip(np.nonzero(internal)[0] + 1, 0, n - 1)]
+    tree = bvh_ops.FlatBVH(
+        aabb_min=nodes_np[:, 0:3], aabb_max=nodes_np[:, 3:6],
+        first=np.maximum(nodes_np[:, 6], 0).astype(np.int32),
+        count=is_leaf.astype(np.int32), skip=skip, right=right,
+        tri_order=None, levels=None,
+    )
+    maps, root_meta = bvh_ops.build_wide_maps(tree, width=4)
+    wide = jnp.asarray(bvh_ops.assemble_wide(packed.nodes, maps))
+    leaf_ids = jnp.asarray(maps.leaf_ids)
+    recs = packed.records[leaf_ids]
+    words = packed.words[leaf_ids]
+    meta = jnp.asarray(maps.meta)
+
+    rs = np.random.RandomState(33)
+    mode = jnp.asarray((rs.rand(4096) < 0.5).astype(np.int32))
+    cases = [
+        dict(any_hit=False),
+        dict(any_hit=True),
+        dict(any_hit="lane", mode=mode),
+    ]
+    for kw in cases:
+        ref = traverse_packets_wide(
+            wide, meta, recs, words, o, d, t_min, t_max,
+            root_meta=root_meta, interpret=True, **kw)
+        got = traverse_packets_wide(
+            wide, meta, recs, words, o, d, t_min, t_max,
+            root_meta=root_meta, interpret=True, leaf_hbm=True, **kw)
+        for r_arr, g_arr in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r_arr), np.asarray(g_arr))
