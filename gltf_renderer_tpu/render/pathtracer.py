@@ -803,16 +803,18 @@ def trace_bounce_and_shadow(
         return hit, shadow_only()
 
     r = o_b.shape[0]
+    s_n = o_s.shape[0]  # r (env NEE) or 2r (env + merged punctual shadows)
     origin = jnp.concatenate([o_b, o_s])
     direction = jnp.concatenate([d_b, d_s])
-    t_min = jnp.concatenate([tmin_b, tmin_s])
+    t_min = jnp.concatenate([jnp.broadcast_to(tmin_b, (r,)),
+                             jnp.broadcast_to(tmin_s, (s_n,))])
     t_max = jnp.concatenate([jnp.broadcast_to(tmax_b, (r,)),
-                             jnp.broadcast_to(tmax_s, (r,))])
+                             jnp.broadcast_to(tmax_s, (s_n,))])
     lane_mode = jnp.concatenate(
-        [jnp.zeros(r, jnp.int32), jnp.ones(r, jnp.int32)]
+        [jnp.zeros(r, jnp.int32), jnp.ones(s_n, jnp.int32)]
     )
     spatial2 = (
-        jnp.concatenate([sort_spatial, sort_spatial])
+        jnp.concatenate([sort_spatial] * (1 + s_n // r))
         if sort_spatial is not None else None
     )
     hit2 = _packet_closest(
@@ -905,6 +907,11 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     t_min = fzero
     if active is None:
         active = fzero == 0.0
+    if alpha_shadow and not meta.has_alpha_layer:
+        # Every material is OPAQUE -> GetAlpha == 1 -> the alpha loop's
+        # first hit always lands transmission 0: EXACTLY the binary
+        # any-hit semantics, minus the closest-hit loop dispatches.
+        alpha_shadow = False
     occ_pre = None
     if prepass and meta.shadow_prepass and scene.occluder_idx is not None:
         t_max_b = jnp.broadcast_to(t_max, (n,))
@@ -1545,7 +1552,20 @@ def _trace_rays(
             s_active = ok & jnp.any(f > 0.0, -1)
             nee_pending = (ray_origin, l_dir, prefix * jnp.where(ok[..., None], contrib, 0.0), s_active)
 
-        # Punctual light NEE (ClosestHit:944-956).
+        # Punctual light NEE (ClosestHit:944-956). When shadows are binary
+        # (alpha_shadows off, or no MASK/BLEND material in the scene) AND a
+        # bounce dispatch follows, the light shadow rays RIDE the merged
+        # bounce+env-shadow launch below instead of paying their own any-hit
+        # dispatch — the contribution is applied after that dispatch, in the
+        # same accumulation order (light before env), so radiance is
+        # bit-identical to the immediate trace.
+        binary_shadows = (not settings.alpha_shadows) or (not meta.has_alpha_layer)
+        merge_light_shadow = (
+            nee_lights and settings.shadow_rays and binary_shadows
+            and settings.merged_light_dispatch
+            and bounce < settings.max_bounces
+        )
+        light_pending = None
         if nee_lights:
             u_l = rand4()[..., 0]
             intersection = origin + direction * hit.t[..., None]
@@ -1553,7 +1573,7 @@ def _trace_rays(
                 scene.lights, meta.num_lights, intersection, u_l
             )
             l_col = light_ray.color
-            if settings.shadow_rays:
+            if settings.shadow_rays and not merge_light_shadow:
                 shadow = trace_shadow(
                     scene, meta, ray_origin, light_ray.direction,
                     jnp.full(n_rays, params.max_ray_length, jnp.float32),
@@ -1567,9 +1587,20 @@ def _trace_rays(
                 scene.sheen_table, meta=meta,
             )
             ok = alive & jnp.any(l_col > 0.0, -1)
-            radiance = radiance + jnp.where(
-                ok[..., None], prefix * (l_col * f) / l_pdf, 0.0
-            )
+            if merge_light_shadow:
+                # Zero-contribution lanes trace dead (same exactness argument
+                # as the env s_active kill above).
+                l_active = ok & jnp.any(f > 0.0, -1)
+                light_pending = (
+                    ray_origin, light_ray.direction,
+                    jnp.where(ok[..., None], prefix * (l_col * f) / l_pdf, 0.0),
+                    l_active,
+                )
+                ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+            else:
+                radiance = radiance + jnp.where(
+                    ok[..., None], prefix * (l_col * f) / l_pdf, 0.0
+                )
 
         # Bounce (ClosestHit:958-1006).
         if bounce < settings.max_bounces:
@@ -1625,18 +1656,36 @@ def _trace_rays(
             # shadow rays in ONE sorted packet launch.
             eff_tmin = jnp.where(alive, 0.0, t_max + 1.0)
             trace_bounce = not (settings.indirect_environment_only and bounce + 1 >= 1)
-            if nee_pending is not None:
-                s_orig, s_dir, s_contrib, s_active = nee_pending
-                s_tmax = jnp.full(n_rays, params.max_ray_length, jnp.float32)
-                s_tmin = jnp.where(s_active, 0.0, s_tmax + 1.0)
+            if nee_pending is not None or light_pending is not None:
+                # Stack every pending binary shadow set (env NEE, punctual
+                # NEE) into ONE merged launch with the bounce rays.
+                sets = []
+                if nee_pending is not None:
+                    sets.append(nee_pending)
+                if light_pending is not None:
+                    sets.append(light_pending)
+                s_tmax1 = jnp.full(n_rays, params.max_ray_length, jnp.float32)
+                s_orig = jnp.concatenate([s[0] for s in sets])
+                s_dir = jnp.concatenate([s[1] for s in sets])
+                s_tmax = jnp.concatenate([s_tmax1] * len(sets))
+                s_tmin = jnp.concatenate(
+                    [jnp.where(s[3], 0.0, s_tmax1 + 1.0) for s in sets]
+                )
                 hit, shadow = trace_bounce_and_shadow(
                     scene, meta, origin, direction, eff_tmin, t_max,
                     s_orig, s_dir, s_tmin, s_tmax,
                     cull_sign=bounce_cull, sort_spatial=prev_tri,
                     trace_bounce=trace_bounce,
                 )
-                ray_count = ray_count + jnp.sum(s_active.astype(jnp.float32))
-                radiance = radiance + s_contrib * shadow[..., None]
+                # Accumulation order preserved vs the unmerged path:
+                # punctual light contribution first, then env NEE.
+                if light_pending is not None:
+                    l_trans = shadow[n_rays * (len(sets) - 1):]
+                    radiance = radiance + light_pending[2] * l_trans[..., None]
+                if nee_pending is not None:
+                    s_contrib, s_active = nee_pending[2], nee_pending[3]
+                    radiance = radiance + s_contrib * shadow[:n_rays][..., None]
+                    ray_count = ray_count + jnp.sum(s_active.astype(jnp.float32))
             elif trace_bounce:
                 hit = trace_closest(
                     scene, meta, origin, direction, eff_tmin, t_max,

@@ -76,6 +76,11 @@ class PathTracerSettings:
     max_bounces: int = 2
     debug_output: int = DEBUG_NONE
     max_accumulated_frames: int = 8196  # Main.cpp:474
+    # TPU-internal dispatch knob (not a reference setting): when shadows are
+    # binary, punctual-light shadow rays ride the merged bounce+env-NEE
+    # launch instead of their own any-hit dispatch. Radiance is bit-identical
+    # either way (accumulation order preserved); False = the A/B control.
+    merged_light_dispatch: bool = True
 
 
 class PathTracerParams(NamedTuple):

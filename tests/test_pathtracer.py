@@ -1,3 +1,5 @@
+from dataclasses import replace as dataclasses_replace
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -254,6 +256,37 @@ def test_shadow_prepass_masked_scene_identical(tmp_path, monkeypatch):
     img_off = _render(ptscene_off, meta_off, cam, st, res=24)
     img_on = _render(ptscene_on, meta_on, cam, st, res=24)
     np.testing.assert_allclose(img_on, img_off, atol=1e-6, rtol=0)
+
+
+def test_merged_light_dispatch_identical(box_setup):
+    """Punctual-light shadow rays riding the merged bounce dispatch must
+    give the exact same image as the dedicated any-hit dispatch (the
+    radiance accumulation order is preserved by construction)."""
+    ptscene, meta, cam = box_setup
+    params = S.PathTracerParams(environment_color=(0.2, 0.2, 0.2))
+    for env_map in (True, False):
+        on = S.PathTracerSettings(
+            max_bounces=2, min_bounces=1, environment_map=env_map,
+            merged_light_dispatch=True,
+        )
+        off = dataclasses_replace(on, merged_light_dispatch=False)
+        img_on = _render(ptscene, meta, cam, on, params=params, res=32, seed=5)
+        img_off = _render(ptscene, meta, cam, off, params=params, res=32, seed=5)
+        np.testing.assert_allclose(img_on, img_off, atol=1e-7, rtol=0)
+
+
+def test_alpha_shadow_binary_fast_path_opaque_scene(box_setup):
+    """On a scene with NO alpha layer, alpha_shadows and binary shadows are
+    semantically identical (GetAlpha == 1 everywhere) — the fast path must
+    not change the image."""
+    ptscene, meta, cam = box_setup
+    assert not meta.has_alpha_layer
+    params = S.PathTracerParams(environment_color=(0.2, 0.2, 0.2))
+    a = _render(ptscene, meta, cam, S.PathTracerSettings(
+        max_bounces=2, min_bounces=1, alpha_shadows=True), params=params, res=32)
+    b = _render(ptscene, meta, cam, S.PathTracerSettings(
+        max_bounces=2, min_bounces=1, alpha_shadows=False), params=params, res=32)
+    np.testing.assert_allclose(a, b, atol=1e-7, rtol=0)
 
 
 def test_pt_accumulation():
