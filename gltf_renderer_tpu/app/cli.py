@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--camera", type=int, default=None, help="use glTF camera index")
     p.add_argument("--frames", type=int, default=1, help="animation frames to write")
     p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--shard", choices=["off", "auto"], default="off",
+                   help="auto: shard rendering over every visible device "
+                        "(pixel-row tiles; parallel/sharding.py)")
     p.add_argument("--profile", action="store_true",
                    help="print a per-pass ms table each frame (PIX analogue)")
     p.add_argument("--trace-dir", type=str, default=None,
@@ -87,7 +90,7 @@ def main(argv=None) -> int:
             exposure=args.exposure,
         ),
     )
-    renderer = Renderer(settings)
+    renderer = Renderer(settings, mesh="auto" if args.shard == "auto" else None)
     renderer.params = renderer.params._replace(
         environment_intensity=args.environment_intensity,
         luminance_clamp=args.luminance_clamp,

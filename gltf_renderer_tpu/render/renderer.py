@@ -61,6 +61,33 @@ def _raster_step(ptscene, meta, settings, params, c2w, cam_pos, resolution, fram
         )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 5, 9))
+def _pt_step_sharded(ptscene, meta, settings, params, c2w, resolution, seed,
+                     accum, frames, mesh):
+    """_pt_step over a device mesh (jax.sharding.Mesh is hashable -> static):
+    pixel-row tiles + independent sample seeds, one pmean (parallel/sharding)."""
+    from gltf_renderer_tpu.parallel import sharding
+
+    with jax.named_scope("path_trace_scene_sharded"):
+        radiance = sharding.render_sharded(
+            ptscene, meta, settings, params, c2w, resolution, seed, mesh
+        )
+    with jax.named_scope("accumulate"):
+        return pt.accumulate(accum, radiance, frames, settings)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 6, 8))
+def _raster_step_sharded(ptscene, meta, settings, params, c2w, cam_pos,
+                         resolution, frame, mesh):
+    from gltf_renderer_tpu.parallel import sharding
+
+    with jax.named_scope("draw_scene_sharded"):
+        return sharding.render_raster_sharded(
+            ptscene, meta, settings, params, c2w, cam_pos, resolution, frame,
+            mesh,
+        )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _bloom_step(hdr, bloom_settings):
     with jax.named_scope("bloom"):
@@ -88,9 +115,20 @@ def _post_step(hdr, tm_settings: S.ToneMapSettings, bloom_settings, frame):
 class Renderer:
     """Interactive/offline renderer state machine."""
 
-    def __init__(self, settings: Optional[S.RenderSettings] = None):
+    def __init__(self, settings: Optional[S.RenderSettings] = None, mesh=None):
+        """mesh: None = single device (default); "auto" = shard over every
+        visible device (1 x n_devices tile mesh; multi-host after
+        parallel.distributed.initialize); or an explicit (sample x tile)
+        jax.sharding.Mesh from parallel.sharding.make_mesh. Both backends
+        route through the sharded step functions when set."""
         self.settings = settings or S.RenderSettings()
         self.params = S.PathTracerParams()
+        if mesh == "auto":
+            from gltf_renderer_tpu.parallel import sharding
+
+            n = jax.device_count()
+            mesh = sharding.make_mesh(n_sample=1, n_tile=n) if n > 1 else None
+        self.mesh = mesh
         self.scene: Optional[T.Scene] = None
         self.env: Optional[EnvMaps] = None
         self.camera = Camera(aspect_ratio=self.settings.width / self.settings.height)
@@ -361,26 +399,40 @@ class Renderer:
                     frame_seed = self.accumulated_frames
                 else:
                     frame_seed = self.params.fixed_seed
-                self._accum = _timed("path_trace_scene", _pt_step,
-                    self._ptscene,
-                    self._meta,
-                    st.pt,
-                    self.params,
-                    c2w,
-                    resolution,
-                    jnp.uint32(frame_seed),
-                    self._accum,
-                    jnp.int32(self.accumulated_frames),
-                )
+                if self.mesh is not None:
+                    self._accum = _timed("path_trace_scene", _pt_step_sharded,
+                        self._ptscene, self._meta, st.pt, self.params, c2w,
+                        resolution, jnp.uint32(frame_seed), self._accum,
+                        jnp.int32(self.accumulated_frames), self.mesh,
+                    )
+                else:
+                    self._accum = _timed("path_trace_scene", _pt_step,
+                        self._ptscene,
+                        self._meta,
+                        st.pt,
+                        self.params,
+                        c2w,
+                        resolution,
+                        jnp.uint32(frame_seed),
+                        self._accum,
+                        jnp.int32(self.accumulated_frames),
+                    )
                 self.accumulated_frames += 1
             hdr = self._accum
             bloom_settings = None  # bloom is raster-only (Rasterizer.cpp:281)
         else:
-            hdr = _timed("draw_scene", _raster_step,
-                self._ptscene, self._meta, st, self.params, c2w,
-                jnp.asarray(self.camera.position()), resolution,
-                jnp.uint32(self.frame_index),
-            )
+            if self.mesh is not None:
+                hdr = _timed("draw_scene", _raster_step_sharded,
+                    self._ptscene, self._meta, st, self.params, c2w,
+                    jnp.asarray(self.camera.position()), resolution,
+                    jnp.uint32(self.frame_index), self.mesh,
+                )
+            else:
+                hdr = _timed("draw_scene", _raster_step,
+                    self._ptscene, self._meta, st, self.params, c2w,
+                    jnp.asarray(self.camera.position()), resolution,
+                    jnp.uint32(self.frame_index),
+                )
             self._accum = hdr
             bloom_settings = st.bloom
 

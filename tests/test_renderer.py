@@ -225,3 +225,27 @@ def test_multi_scene_document_select(tmp_path):
     with _pytest.raises(IndexError):
         r.select_scene(99)
     assert r.scene_id == 1  # unchanged after the failed select
+
+
+def test_renderer_sharded_matches_single(tmp_path):
+    """Renderer(mesh="auto") on the 8-device CPU mesh: both backends must
+    match the single-device renderer (PT tiles bit-parity; raster tiles +
+    backdrop all_gather)."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    for backend in ("pathtracer", "rasterizer"):
+        imgs = {}
+        for mesh in (None, "auto"):
+            settings = S.RenderSettings(
+                backend=backend, width=48, height=36,  # 36 % 8 != 0: pad path
+                pt=S.PathTracerSettings(max_bounces=1, min_bounces=1),
+            )
+            r = Renderer(settings, mesh=mesh)
+            r.load_scene(path)
+            r.camera.aspect_ratio = 48 / 36
+            r.camera.z_near = 0.01
+            r.camera.world_to_view = look_at([2.0, -2.0, 1.5], [0, 0, 0])
+            imgs[mesh] = r.draw_frame()
+        assert r.mesh is not None  # auto picked up the 8 virtual devices
+        # u8 output: identical up to 1 count of tonemap rounding jitter.
+        diff = np.abs(imgs[None].astype(int) - imgs["auto"].astype(int))
+        assert diff.max() <= 1, (backend, diff.max())
