@@ -564,7 +564,7 @@ def make_handler(state: ViewerState):
 
 
 def serve(gltf_path, width=960, height=540, port=8008, backend="pathtracer",
-          env_path=None, block=True):
+          env_path=None, block=True, shard="off"):
     """Build the renderer, start the render thread + HTTP server.
 
     Returns (server, state, thread) when block=False (tests drive it)."""
@@ -579,7 +579,7 @@ def serve(gltf_path, width=960, height=540, port=8008, backend="pathtracer",
 
     enable_compilation_cache()
     settings = S.RenderSettings(backend=backend, width=width, height=height)
-    renderer = Renderer(settings)
+    renderer = Renderer(settings, mesh="auto" if shard == "auto" else None)
     scene = renderer.load_scene(gltf_path)
     if env_path:
         renderer.load_environment(env_path)
@@ -632,10 +632,12 @@ def main(argv=None):
     parser.add_argument("--backend", default="pathtracer",
                         choices=["pathtracer", "rasterizer"])
     parser.add_argument("--environment-map", default=None)
+    parser.add_argument("--shard", choices=["off", "auto"], default="off",
+                        help="auto: shard frames over every visible device")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     serve(args.gltf, args.width, args.height, args.port, args.backend,
-          args.environment_map)
+          args.environment_map, shard=args.shard)
 
 
 if __name__ == "__main__":
