@@ -270,3 +270,33 @@ def test_viewer_drop_hdr_swaps_environment(tmp_path):
         thread.join(timeout=120)
         jax.config.update("jax_enable_compilation_cache", old_cache)
         cc.reset_cache()
+
+
+def test_viewer_sharded(tmp_path):
+    """shard="auto" on the 8-device CPU mesh: the viewer's render thread
+    runs the sharded step functions and still serves valid frames."""
+    from gltf_renderer_tpu.app import viewer
+
+    path = str(tmp_path / "box.gltf")
+    write_box_gltf(path)
+    server, state, thread = viewer.serve(
+        path, width=64, height=32, port=0, block=False, shard="auto"
+    )
+    try:
+        assert state.renderer.mesh is not None
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 180
+        png = b""
+        while time.time() < deadline:
+            try:
+                r = urllib.request.urlopen(base + "/frame.png", timeout=5)
+                png = r.read()
+                break
+            except Exception:
+                time.sleep(0.5)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        state.running = False
+        server.shutdown()
+        thread.join(timeout=60)
