@@ -35,7 +35,9 @@ rays in one dispatch (per-lane mode input — the merged bounce+shadow path).
 Coherent packets visit near the per-ray optimum; incoherent bounce/shadow
 packets degrade toward the union — the path tracer tile-orders primary rays
 and locality+octant-sorts secondary rays before dispatch (render/pathtracer).
-Scenes must fit VMEM; larger scenes fall back to the XLA path.
+Nodes+meta must fit VMEM; leaf geometry either resides in VMEM (small
+scenes) or stays in HBM with per-flush DMA (leaf_hbm — 1M+-tri scenes).
+Scenes whose NODE tables bust the budget fall back to the XLA path.
 """
 
 from __future__ import annotations
