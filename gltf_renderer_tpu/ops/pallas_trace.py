@@ -230,6 +230,42 @@ def _traverse_kernel(
         sp = jnp.maximum(sp - POP, 0)
         return sp, qn, tuple(groups)
 
+    def dma_start(qn, qbase):
+        """Start the FLUSH x 2 leaf-row copies for the queue's top FLUSH
+        entries; all start before any wait so the ~1-2 us latencies overlap
+        each other. Duplicate clamped reads re-copy a row — idempotent."""
+        for j in range(FLUSH):
+            leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
+            pltpu.make_async_copy(
+                recs_ref.at[pl.ds(leaf, 1)], rec_buf.at[pl.ds(j, 1)],
+                dma_sem.at[2 * j],
+            ).start()
+            pltpu.make_async_copy(
+                words_ref.at[pl.ds(leaf, 1)], word_buf.at[pl.ds(j, 1)],
+                dma_sem.at[2 * j + 1],
+            ).start()
+
+    def dma_wait():
+        # Reconstructed descriptors wait on the same semaphores for the same
+        # (static) byte counts — the row index doesn't matter for the wait.
+        for j in range(FLUSH):
+            pltpu.make_async_copy(
+                recs_ref.at[pl.ds(0, 1)], rec_buf.at[pl.ds(j, 1)],
+                dma_sem.at[2 * j],
+            ).wait()
+            pltpu.make_async_copy(
+                words_ref.at[pl.ds(0, 1)], word_buf.at[pl.ds(j, 1)],
+                dma_sem.at[2 * j + 1],
+            ).wait()
+
+    def leaf_compute(best, rays):
+        """Per-leaf triangle tests over the DMA'd buffers (leaf_hbm) —
+        factored so the prefetch pipeline can run them a descent-run after
+        the copies started (dma_wait first: the batch may still be in
+        flight if the interleaved descent run was short)."""
+        dma_wait()
+        return _leaf_tests(0, best, 0, rays, use_buf=True)
+
     def leaf_flush(qn, best, qbase, rays):
         """Test FLUSH buffered leaves (clamped duplicate reads pad short
         queues — re-testing a leaf is idempotent for every accept rule).
@@ -237,31 +273,20 @@ def _traverse_kernel(
         leaf_hbm: leaf rows live in HBM; the FLUSH x 2 row copies all start
         before the first wait, so their ~1-2 us DMA latencies overlap each
         other (and the tail of the preceding descent run) instead of
-        serializing. Duplicate clamped reads re-copy a row — idempotent."""
+        serializing."""
+        if leaf_hbm:
+            dma_start(qn, qbase)
+            dma_wait()
+        best = _leaf_tests(qn, best, qbase, rays, use_buf=bool(leaf_hbm))
+        return jnp.maximum(qn - FLUSH, 0), best
+
+    def _leaf_tests(qn, best, qbase, rays, use_buf):
         t_b, u_b, v_b, w_b = best
         t_min = rays["t_min"]
         t_cap = rays["t_cap"]
         lane_any = rays["lane_any"]
-        if leaf_hbm:
-            copies = []
-            for j in range(FLUSH):
-                leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
-                c_r = pltpu.make_async_copy(
-                    recs_ref.at[pl.ds(leaf, 1)], rec_buf.at[pl.ds(j, 1)],
-                    dma_sem.at[2 * j],
-                )
-                c_w = pltpu.make_async_copy(
-                    words_ref.at[pl.ds(leaf, 1)], word_buf.at[pl.ds(j, 1)],
-                    dma_sem.at[2 * j + 1],
-                )
-                c_r.start()
-                c_w.start()
-                copies.append((c_r, c_w))
-            for c_r, c_w in copies:
-                c_r.wait()
-                c_w.wait()
         for j in range(FLUSH):
-            if leaf_hbm:
+            if use_buf:
                 rrow = rec_buf[j, :]
                 wrow = word_buf[j, :]
             else:
@@ -322,7 +347,7 @@ def _traverse_kernel(
                 u_b = jnp.where(h, uu, u_b)
                 v_b = jnp.where(h, vv, v_b)
                 w_b = jnp.where(h, word, w_b)
-        return jnp.maximum(qn - FLUSH, 0), (t_b, u_b, v_b, w_b)
+        return (t_b, u_b, v_b, w_b)
 
     rays = load_packet()
 
@@ -366,19 +391,54 @@ def _traverse_kernel(
         sp, qn, pend_new = descent_step(sp, qn, 0, 0, pend_a, best[0], rays)
         return sp, qn, pend_b, pend_new, best
 
-    def outer_body(state):
-        state = jax.lax.while_loop(inner_cond, inner_body, state)
-        sp, qn, pend_a, pend_b, best = state
-        qn, best = jax.lax.cond(
-            qn >= FLUSH,
-            lambda q, b: leaf_flush(q, b, 0, rays),
-            lambda q, b: (q, b), qn, best,
-        )
-        return sp, qn, pend_a, pend_b, best
+    if leaf_hbm == 2:
+        # PREFETCH pipeline: a full batch's DMAs start as soon as the queue
+        # fills, its triangle tests run one descent-run LATER — the copy
+        # latency hides behind the next inner descent instead of stalling
+        # the flush. t_best for descent pruning lags one extra batch (same
+        # tradeoff class as the deferred leaf queue itself).
+        def live_pf(state):
+            sp, qn, pend_a, pend_b, _best, dmap = state
+            return (
+                live((sp, qn, pend_a, pend_b, _best))
+                | (dmap > 0) | (qn >= FLUSH)
+            )
 
-    _, qn, _, _, best = jax.lax.while_loop(
-        live, outer_body, (0, 0, pend0, pend_none, best0)
-    )
+        def outer_body_pf(state):
+            sp, qn, pend_a, pend_b, best, dmap = state
+            sp, qn, pend_a, pend_b, best = jax.lax.while_loop(
+                inner_cond, inner_body, (sp, qn, pend_a, pend_b, best)
+            )
+            best = jax.lax.cond(
+                dmap > 0, lambda b: leaf_compute(b, rays), lambda b: b, best
+            )
+
+            def start(q):
+                dma_start(q, 0)
+                return jnp.maximum(q - FLUSH, 0), jnp.int32(1)
+
+            qn, dmap = jax.lax.cond(
+                qn >= FLUSH, start, lambda q: (q, jnp.int32(0)), qn
+            )
+            return sp, qn, pend_a, pend_b, best, dmap
+
+        _, qn, _, _, best, _ = jax.lax.while_loop(
+            live_pf, outer_body_pf, (0, 0, pend0, pend_none, best0, jnp.int32(0))
+        )
+    else:
+        def outer_body(state):
+            state = jax.lax.while_loop(inner_cond, inner_body, state)
+            sp, qn, pend_a, pend_b, best = state
+            qn, best = jax.lax.cond(
+                qn >= FLUSH,
+                lambda q, b: leaf_flush(q, b, 0, rays),
+                lambda q, b: (q, b), qn, best,
+            )
+            return sp, qn, pend_a, pend_b, best
+
+        _, qn, _, _, best = jax.lax.while_loop(
+            live, outer_body, (0, 0, pend0, pend_none, best0)
+        )
 
     # Drain leftover queued leaves (< FLUSH of them; clamped reads duplicate).
     _, best = jax.lax.while_loop(

@@ -94,9 +94,10 @@ class PTMeta(NamedTuple):
     wide_root: int = 0       # stack seed for the wide packet kernel
     shadow_prepass: bool = False  # proxy-occluder MXU prepass (see
     # _proxy_occlusion; GLTF_TPU_SHADOWPRE=1 enables)
-    leaf_hbm: bool = False   # packet kernel streams leaf rows from HBM via
-    # per-flush DMA — scenes whose LEAF tables bust the VMEM budget still
-    # run the packet kernel (nodes+meta stay resident)
+    leaf_hbm: int = 0        # packet kernel streams leaf rows from HBM via
+    # per-flush DMA (1) or the prefetch pipeline (2) — scenes whose LEAF
+    # tables bust the VMEM budget still run the packet kernel (nodes+meta
+    # stay resident)
 
 
 # Pallas packet kernel needs nodes + compact leaf records resident in VMEM.
@@ -408,13 +409,15 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
     # tris) has 53 MB of leaf records but only ~5 MB of nodes+meta. The DMA
     # scratch (FLUSH rows) is noise. GLTF_TPU_LEAF_HBM=1 forces the HBM
     # path on any scene (A/B knob); =0 disables (XLA wavefront fallback).
+    # Values: 0 off, 1 flush-synchronous DMA, 2 prefetch pipeline (batch N's
+    # tests run one descent-run after its copies start).
     hbm_env = os.environ.get("GLTF_TPU_LEAF_HBM", "auto")
-    if hbm_env == "1":
-        leaf_hbm = True
+    if hbm_env in ("1", "2"):
+        leaf_hbm = int(hbm_env)
     elif hbm_env == "0":
-        leaf_hbm = False
+        leaf_hbm = 0
     else:
-        leaf_hbm = (
+        leaf_hbm = int(
             table_bytes > PALLAS_VMEM_BUDGET and node_bytes <= PALLAS_VMEM_BUDGET
         )
     fits = (table_bytes if not leaf_hbm else node_bytes) <= PALLAS_VMEM_BUDGET

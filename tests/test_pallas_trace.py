@@ -312,8 +312,22 @@ def test_leaf_hbm_matches_vmem():
         ref = traverse_packets_wide(
             wide, meta, recs, words, o, d, t_min, t_max,
             root_meta=root_meta, interpret=True, **kw)
-        got = traverse_packets_wide(
-            wide, meta, recs, words, o, d, t_min, t_max,
-            root_meta=root_meta, interpret=True, leaf_hbm=True, **kw)
-        for r_arr, g_arr in zip(ref, got):
-            np.testing.assert_array_equal(np.asarray(r_arr), np.asarray(g_arr))
+        for hbm in (1, 2):  # flush-synchronous DMA / prefetch pipeline
+            got = traverse_packets_wide(
+                wide, meta, recs, words, o, d, t_min, t_max,
+                root_meta=root_meta, interpret=True, leaf_hbm=hbm, **kw)
+            if hbm == 2 and kw.get("any_hit") in (True, "lane"):
+                # Prefetch reorders leaf batches; an any-hit lane may retire
+                # on a DIFFERENT (equally valid) occluder — occlusion and
+                # closest-lane results must still match exactly.
+                r_w, g_w = np.asarray(ref[1]), np.asarray(got[1])
+                np.testing.assert_array_equal(r_w >= 0, g_w >= 0)
+                if kw.get("any_hit") == "lane":
+                    closest = np.asarray(kw["mode"]) == 0
+                    np.testing.assert_array_equal(r_w[closest], g_w[closest])
+                    np.testing.assert_array_equal(
+                        np.asarray(ref[0])[closest], np.asarray(got[0])[closest])
+            else:
+                for r_arr, g_arr in zip(ref, got):
+                    np.testing.assert_array_equal(
+                        np.asarray(r_arr), np.asarray(g_arr))

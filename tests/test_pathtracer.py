@@ -299,6 +299,57 @@ def test_pt_accumulation():
     np.testing.assert_allclose(out1, 2.0)  # mean of 1 and 3
 
 
+@pytest.mark.parametrize("layer", ["metal", "clearcoat", "sheen", "transmission"])
+def test_pt_layer_furnace_no_energy_gain(layer, tmp_path):
+    """Layer-wise furnace sweep: a white material with ONE extra BSDF layer
+    enabled, in a uniform environment, must never GAIN energy (sampled
+    layer weights / pdfs / MIS must compose ≤ 1) and must keep most of it
+    (no layer silently eats the path). Complements the diffuse furnace and
+    the zoo SSIM, which can mask a single layer's weight bug."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"), with_light=False,
+                          base_color=(1.0, 1.0, 1.0, 1.0), roughness=0.5)
+    scene, world, lights = _load_world(path)
+    m = scene.materials
+    ones = np.ones_like(np.asarray(m.metalness_factor))
+    if layer == "metal":
+        m = m._replace(metalness_factor=ones)
+    elif layer == "clearcoat":
+        m = m._replace(clearcoat_factor=ones,
+                       clearcoat_roughness_factor=0.4 * ones)
+    elif layer == "sheen":
+        m = m._replace(
+            sheen_color_factor=np.ones_like(np.asarray(m.sheen_color_factor)),
+            sheen_roughness_factor=0.5 * ones,
+        )
+    else:  # transmission
+        m = m._replace(transmission_factor=ones)
+    ptscene, meta = pt.make_pt_scene(
+        world, jax.tree.map(jnp.asarray, m),
+        jax.tree.map(jnp.asarray, scene.textures),
+        jax.tree.map(jnp.asarray, lights),
+    )
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=1.0, z_near=0.01)
+    cam.world_to_view = look_at([0.0, -2.0, 0.0], [0.0, 0.0, 0.0])
+    settings = S.PathTracerSettings(
+        max_bounces=5, min_bounces=5, environment_map=False,
+        point_lights=False, luminance_clamp_enabled=False,
+    )
+    params = S.PathTracerParams(environment_color=(0.5, 0.5, 0.5))
+    c2w = jnp.asarray(cam.clip_to_world())
+    trace_j = jax.jit(pt.trace, static_argnums=(1, 2, 5))
+    imgs = [
+        np.asarray(trace_j(ptscene, meta, settings, params, c2w, (32, 32),
+                           jnp.uint32(s)))
+        for s in range(16)
+    ]
+    mean = np.mean(imgs, 0)
+    center = mean[12:20, 12:20].mean(axis=(0, 1))
+    # No gain: ≤ env radiance + sampling-noise allowance.
+    assert np.all(center <= 0.5 * 1.08), (layer, center)
+    # Not black: truncation at 5 bounces + layer Fresnel losses bounded.
+    assert np.all(center >= 0.5 * 0.55), (layer, center)
+
+
 def test_pt_furnace():
     """Furnace test (reference Material Diffuse White override +uniform env):
     white diffuse in a uniform environment must converge to env radiance."""

@@ -64,6 +64,7 @@ def steps(quick: bool):
         ("courtyard_shadowpre", bench, {"BENCH_SCENE": "courtyard", "GLTF_TPU_SHADOWPRE": "64"}, 1200),
         # 1M-tri soak: auto leaf_hbm (packet kernel) vs forced XLA fallback.
         ("courtyard2_leafhbm", bench, {"BENCH_SCENE": "courtyard2"}, 2400),
+        ("courtyard2_prefetch", bench, {"BENCH_SCENE": "courtyard2", "GLTF_TPU_LEAF_HBM": "2"}, 2400),
         ("courtyard2_xla", bench, {"BENCH_SCENE": "courtyard2", "GLTF_TPU_LEAF_HBM": "0"}, 2400),
         ("perlane_primitives", [sys.executable, "tools/bench_perlane.py"], {}, 1200),
         # (bench_raster runs raycast AND tiled visibility internally.)
