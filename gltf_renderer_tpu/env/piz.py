@@ -17,11 +17,14 @@ HUF_DECBITS = 14
 HUF_DECSIZE = 1 << HUF_DECBITS
 HUF_DECMASK = HUF_DECSIZE - 1
 
-A_OFFSET = 1 << 14
-MOD_MASK = (1 << 16) - 1
-
 NBITS = 16
+# OpenEXR ImfWav.cpp: A_OFFSET = M_OFFSET = 1 << (NBITS - 1) = 1 << 15.
+# (Was 1 << 14 through round 3 — wrong, but unobservable then because the
+# maxValue bug routed every real block to the 14-bit wavelet; fixed round 4
+# together with a single-block >=2^14-distinct-values regression test.)
+A_OFFSET = 1 << (NBITS - 1)
 M_OFFSET = 1 << (NBITS - 1)
+MOD_MASK = (1 << NBITS) - 1
 
 
 class _BitReader:

@@ -52,17 +52,25 @@ def initialize(
     jax.distributed.initialize discovers everything itself). Returns
     (process_index, process_count).
     """
-    want_multi = (
+    explicit = (
         coordinator_address
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
+        or int(os.environ.get("JAX_NUM_PROCESSES", "1") or 1) > 1
     )
-    if want_multi:
+    # Cloud TPU pod auto-discovery: multiple worker hostnames means this
+    # process is one of several on a slice — argless initialize() lets JAX
+    # discover coordinator/count/id from the TPU metadata itself.
+    pod = len([h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+               if h.strip()]) > 1
+    if explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif pod:
+        jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 

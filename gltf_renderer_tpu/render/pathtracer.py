@@ -713,25 +713,41 @@ def _proxy_occlusion(scene, origin, direction, t_min, t_max, want_tcap=False):
         [o, d, (d[:, :, None] * o[:, None, :]).reshape(-1, 9),
          jnp.ones((o.shape[0], 1), jnp.float32)], -1,
     )
+    cm = c.reshape(16, k * 4)
     g = jax.lax.dot_general(
-        feats, c.reshape(16, k * 4), (((1,), (0,)), ((), ())),
+        feats, cm, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(-1, k, 4)
+    # Rigorous rounding bound: |error(F.C)| <= n*eps * (|F|.|C|) per output.
+    # A margin relative to |det| alone does NOT bound the error of a dot
+    # whose feature magnitudes scale with |o| (scenes far from the origin
+    # graze-classified wrong, measured 885/8192 false hits at offset 2000) —
+    # the absolute-value matmul makes the verdicts conservative everywhere.
+    gabs = jax.lax.dot_general(
+        jnp.abs(feats), jnp.abs(cm), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, k, 4)
+    err = (64.0 * np.finfo(np.float32).eps) * gabs + 1e-30
     det, ud, vd, td = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+    m_det, m_u, m_v, m_t = err[..., 0], err[..., 1], err[..., 2], err[..., 3]
     s = jnp.sign(det)
     ad = jnp.abs(det)
-    margin = 1e-5 * ad + 1e-30
     us, vs, ts = ud * s, vd * s, td * s
+    tmin_c = t_min[:, None]
+    tmax_c = t_max[:, None]
     hit = (
-        (ad > 1e-20)
-        & (us >= margin) & (vs >= margin) & (us + vs <= ad - margin)
-        & (ts >= t_min[:, None] * ad + margin)
-        & (ts <= t_max[:, None] * ad - margin)
+        (ad > m_det)
+        & (us >= m_u) & (vs >= m_v)
+        & (us + vs <= ad - (m_u + m_v + m_det))
+        & (ts >= tmin_c * ad + (m_t + jnp.abs(tmin_c) * m_det))
+        & (ts <= tmax_c * ad - (m_t + jnp.abs(tmax_c) * m_det))
     )
     occluded = jnp.any(hit, -1)
     if not want_tcap:
         return occluded, None
-    t_hit = jnp.where(hit, td / jnp.where(ad > 1e-20, det, 1.0), jnp.inf)
+    # Upper bound on the hit distance: numerator rounded up, |det| down.
+    t_hi = (ts + m_t) / jnp.maximum(ad - m_det, 1e-30)
+    t_hit = jnp.where(hit, t_hi, jnp.inf)
     return occluded, jnp.min(t_hit, -1)
 
 

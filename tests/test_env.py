@@ -126,8 +126,11 @@ def test_piz_native_matches_python():
     cases.append(([("B", 2), ("G", 2), ("R", 2)], f32.view(np.uint16), 20, 12))
     bits = np.arange(0x7C00, dtype=np.uint16)
     rs.shuffle(bits)
-    wide = bits[: 40 * 30 * 3].reshape(40, 30, 3)
-    cases.append(([("B", 1), ("G", 1), ("R", 1)], wide, 30, 40))
+    # ONE block, >=2^14 distinct values: native and Python must agree on
+    # the 16-bit wavelet path too (A_OFFSET mismatch regression).
+    wide = bits[: 32 * 200 * 3].reshape(32, 200, 3)
+    assert len(np.unique(wide)) >= (1 << 14)
+    cases.append(([("B", 1), ("G", 1), ("R", 1)], wide, 200, 32))
     for channels, arr, w, n_lines in cases:
         raw = arr.reshape(n_lines, -1).tobytes()
         blob = piz.piz_compress(raw, channels, w, n_lines)
@@ -142,11 +145,15 @@ def test_exr_piz_wide_value_range(tmp_path):
     round 4 fixed maxValue to the global compacted-LUT max (OpenEXR
     semantics), not the per-plane data max."""
     # Deterministic: every finite positive half bit pattern once, shuffled.
+    # 32 rows = ONE PIZ block holding >=2^14 distinct values, so the 16-bit
+    # wavelet (wdec16/wenc16, A_OFFSET = 1<<15) runs — the round-3 code
+    # never reached it (per-plane maxValue bug) and had A_OFFSET = 1<<14.
     bits = np.arange(0x7C00, dtype=np.uint16)  # exponents 0..30, positive
     rs = np.random.RandomState(3)
     rs.shuffle(bits)
-    n = 96 * 110 * 3
-    vals = bits[:n].reshape(96, 110, 3).view(np.float16)
+    n = 32 * 200 * 3
+    assert n >= (1 << 14)
+    vals = bits[:n].reshape(32, 200, 3).view(np.float16)
     distinct = len(np.unique(vals.view(np.uint16)))
     assert distinct >= (1 << 14), distinct
     p = str(tmp_path / "tw.exr")

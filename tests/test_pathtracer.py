@@ -200,11 +200,88 @@ def test_proxy_occlusion_matches_brute_force():
     assert not np.any(occ & ~ref_any)
     agree = occ == ref_any
     assert agree.mean() > 0.98, agree.mean()
-    # Where both agree on a hit, the cap matches the closest MT t.
+    # Cap safety contract: the cap is an UPPER bound on the distance of a
+    # REAL hit (so capping bounce t_max at it can never hide the true
+    # closest): never below the true closest, and within tolerance of SOME
+    # true hit (the closest the margin didn't reject).
     both = occ & ref_any
-    np.testing.assert_allclose(
-        tcap[both], t_ref.min(-1)[both], rtol=1e-4, atol=1e-5
+    assert np.all(tcap[both] >= t_ref.min(-1)[both] - 1e-5)
+    near_some = np.min(
+        np.abs(t_ref[both] - tcap[both][:, None]), axis=-1
     )
+    scale = np.maximum(np.abs(tcap[both]), 1.0)
+    assert np.all(near_some <= 1e-3 * scale), near_some.max()
+
+
+@pytest.mark.parametrize("offset", [0.0, 2000.0, 100000.0])
+def test_proxy_occlusion_no_false_hits_far_from_origin(offset):
+    """The conservative guarantee must hold at ANY world scale: rays built
+    to GRAZE triangle edges, with the whole scene translated far from the
+    origin (feature magnitudes ~|o|, the regime where a |det|-relative
+    margin mis-classified 885/8192 rays — round-4 review finding). Every
+    'certainly occluded' verdict must be a float64-confirmed hit."""
+    rs = np.random.RandomState(17)
+    k, r = 16, 8192
+    shift = np.asarray([offset, offset * 0.5, -offset * 0.25], np.float64)
+    v0 = rs.uniform(-2, 2, (k, 3)) + shift
+    e1 = rs.uniform(-1.5, 1.5, (k, 3))
+    e2 = rs.uniform(-1.5, 1.5, (k, 3))
+    # Rays aimed exactly at points ON (and just outside) triangle edges.
+    tri = rs.randint(0, k, r)
+    lam = rs.uniform(0, 1, (r, 1))
+    edge_pt = v0[tri] + lam * e1[tri]  # points on the v0->v1 edge
+    # Nudge a hair outside the triangle (negative v direction).
+    edge_pt = edge_pt - rs.uniform(0, 2e-4, (r, 1)) * e2[tri]
+    o = edge_pt + rs.normal(size=(r, 3)) * 3.0
+    d = edge_pt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_min = np.zeros(r, np.float64)
+    t_max = np.full(r, 50.0, np.float64)
+
+    # The prepass sees f32-rounded vertices and rays; the float64 oracle
+    # must judge the SAME rounded geometry or legit hits read as misses.
+    p1 = (v0 + e1).astype(np.float32).astype(np.float64)
+    p2 = (v0 + e2).astype(np.float32).astype(np.float64)
+    v0 = v0.astype(np.float32).astype(np.float64)
+    e1 = p1 - v0
+    e2 = p2 - v0
+    o = o.astype(np.float32).astype(np.float64)
+    d = d.astype(np.float32).astype(np.float64)
+
+    # float64 Moller-Trumbore oracle over all K tris.
+    hit_any = np.zeros(r, bool)
+    for j in range(k):
+        pv = np.cross(d, e2[j])
+        det = (e1[j] * pv).sum(-1)
+        tv = o - v0[j]
+        u = (tv * pv).sum(-1)
+        qv = np.cross(tv, e1[j])
+        v = (d * qv).sum(-1)
+        t = (e2[j] * qv).sum(-1)
+        sgn = np.sign(det)
+        ad = np.abs(det)
+        ok = (ad > 0) & (u * sgn >= -1e-9 * ad) & (v * sgn >= -1e-9 * ad) \
+            & ((u + v) * sgn <= ad * (1 + 1e-9))
+        tt = np.where(ad > 0, t / np.where(ad > 0, det, 1.0), np.inf)
+        hit_any |= ok & (tt > 0) & (tt < 50.0)
+
+    class _W:
+        tri_vertex = jnp.arange(3 * k, dtype=jnp.int32).reshape(k, 3)
+        position = jnp.asarray(
+            np.stack([v0, v0 + e1, v0 + e2], 1).reshape(3 * k, 3), jnp.float32
+        )
+
+    class _Sc:
+        world = _W()
+        occluder_idx = jnp.arange(k, dtype=jnp.int32)
+
+    occ, _ = pt._proxy_occlusion(
+        _Sc(), jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
+    )
+    occ = np.asarray(occ)
+    false_hits = occ & ~hit_any
+    assert not false_hits.any(), (offset, int(false_hits.sum()))
 
 
 def test_shadow_prepass_image_identical(tmp_path, monkeypatch):

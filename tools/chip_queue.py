@@ -47,17 +47,17 @@ def steps(quick: bool):
     bench = [sys.executable, "bench.py"]
     out = [
         ("helmet", bench, {}, 900),
-        ("courtyard", bench, {"BENCH_SCENE": "courtyard"}, 1200),
-        ("raster_frame", [sys.executable, "tools/bench_raster.py"], {}, 1200),
-        ("raster_stages", [sys.executable, "tools/bench_raststage.py"], {}, 1500),
         ("helmet_spp4", bench, {"BENCH_SPP": "4"}, 900),
         ("helmet_bf16box", bench, {"GLTF_TPU_BF16BOX": "1"}, 900),
         ("helmet_bf16rows", bench, {"GLTF_TPU_BF16ROWS": "1"}, 900),
         ("helmet_shadowpre", bench, {"GLTF_TPU_SHADOWPRE": "64"}, 900),
     ]
     if quick:
-        return out
+        return out  # helmet-only essentials, as documented
     out += [
+        ("courtyard", bench, {"BENCH_SCENE": "courtyard"}, 1200),
+        ("raster_frame", [sys.executable, "tools/bench_raster.py"], {}, 1200),
+        ("raster_stages", [sys.executable, "tools/bench_raststage.py"], {}, 1500),
         ("courtyard_spp4", bench, {"BENCH_SCENE": "courtyard", "BENCH_SPP": "4"}, 1200),
         ("courtyard_bf16box", bench, {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16BOX": "1"}, 1200),
         ("courtyard_bf16rows", bench, {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16ROWS": "1"}, 1200),
