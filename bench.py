@@ -210,7 +210,11 @@ def _warm_pallas():
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=jax.default_backend() != "tpu",
+        # The tunnel backend is named "axon", NOT "tpu" — device detection
+        # in this repo is `!= "cpu"` (pathtracer._pallas_available). The
+        # previous `!= "tpu"` test interpreted the warm-up ON the device,
+        # so no real dispatch landed and timings stayed fake-fast.
+        interpret=jax.default_backend() == "cpu",
     )(x)
     jax.block_until_ready(out)
 

@@ -920,6 +920,14 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     Alpha mode: transmission = prod(1 - alpha) over surfaces until opaque.
     An opaque proxy-prepass hit (GLTF_TPU_SHADOWPRE) forces transmission 0 in
     BOTH modes and retires the lane before traversal.
+
+    Prepass parity caveat: binary mode is EXACTLY image-identical. Alpha
+    mode is identical except when >MAX_SHADOW_HOPS(16) alpha surfaces stack
+    in front of the certain opaque occluder — the truncated loop would
+    return the partial product (>0) while the prepass returns the
+    physically correct 0 (an opaque wall does block). Deviation is
+    one-sided (darker == more correct) and needs 17+ stacked MASK/BLEND
+    layers on one shadow ray to trigger.
     """
     n = origin.shape[0]
     fzero = origin[:, 0] * 0.0  # varying-axes-correct zero under shard_map

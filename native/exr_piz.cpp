@@ -295,6 +295,9 @@ extern "C" int piz_decode(const uint8_t* raw, int64_t raw_len, int width,
   pos += 4;
   std::vector<uint8_t> bitmap(8192, 0);
   if (min_nz <= max_nz) {
+    // Corrupt/malicious headers: the bitmap span must lie inside the
+    // 8192-byte table or the memcpy writes out of bounds.
+    if (max_nz >= 8192) return -10;
     int n = max_nz - min_nz + 1;
     if (pos + n > raw_len) return -1;
     std::memcpy(bitmap.data() + min_nz, raw + pos, n);

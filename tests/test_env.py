@@ -253,3 +253,16 @@ def test_exr_piz_sheen_lut():
     ours_rs = ours[yi][:, xi]
     corr = np.corrcoef(ours_rs.ravel(), img[..., 0].ravel())[0, 1]
     assert corr > 0.97, corr
+
+
+def test_piz_corrupt_bitmap_span_rejected():
+    """Malicious/corrupt PIZ header (bitmap span past the 8192-byte table)
+    must fail CLEANLY on both decoders — the native path returns an error
+    (no OOB write, exr_piz.cpp rc=-10) and the Python fallback raises."""
+    import struct
+
+    from gltf_renderer_tpu.env import piz
+
+    bad = struct.pack("<HH", 60000, 60001) + b"\x01\x01" + struct.pack("<i", 24) + b"\x00" * 24
+    with pytest.raises(Exception):
+        piz.piz_uncompress(bad, [("R", 1)], 4, 4)

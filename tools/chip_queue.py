@@ -87,7 +87,12 @@ def run_step(name, argv, env, timeout):
         err_tail = proc.stderr.strip().splitlines()[-5:]
     except subprocess.TimeoutExpired as e:
         rc = -9
-        out_tail = (e.stdout or "").strip().splitlines()[-5:] if e.stdout else []
+        # TimeoutExpired carries bytes even with text=True — decode or the
+        # json.dumps below crashes the whole unattended queue.
+        so = e.stdout or b""
+        if isinstance(so, bytes):
+            so = so.decode("utf-8", "replace")
+        out_tail = so.strip().splitlines()[-5:]
         err_tail = ["TIMEOUT"]
     bench_json = None
     for line in out_tail:
