@@ -451,8 +451,14 @@ def gltf_bsdf(
     if not enable_clearcoat:
         return material
 
-    # Clearcoat (about the clearcoat normal, not the shading normal).
-    cn = sp.clearcoat_normal
+    # Clearcoat EVALUATION is about the SHADING normal — the reference's
+    # GltfBsdf computes clearcoat_n_dot_{v,h,l} with n = shading_normal
+    # (Bsdf.hlsli:275-279, :318-322) even though SampleClearcoat /
+    # ClearcoatPdf / LayerProbabilities use clearcoat_normal
+    # (PathTracer.lib.hlsl:394-411, :540). Replicated exactly: the
+    # asymmetry is image-affecting on normal-mapped clearcoat materials
+    # (round-4 parity-review finding; was clearcoat_normal here).
+    cn = sp.shading_normal
     cc_n_dot_v = dot(cn, v, keepdims=False)
     cc_n_dot_h = dot(cn, h, keepdims=False)
     cc_n_dot_l = dot(cn, l, keepdims=False)

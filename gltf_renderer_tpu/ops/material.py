@@ -136,13 +136,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     nearest = trow[..., 6].astype(jnp.int32)
     srgb = trow[..., 7].astype(jnp.int32)
 
-    def wrap(coord, size, mode):
-        rep = jnp.mod(coord, size)
-        clam = jnp.clip(coord, 0, size - 1)
-        period = 2 * size
-        m = jnp.mod(coord, period)
-        mir = jnp.where(m >= size, period - 1 - m, m)
-        return jnp.where(mode == WRAP_REPEAT, rep, jnp.where(mode == WRAP_CLAMP, clam, mir))
+    from gltf_renderer_tpu.ops.texture import _wrap as wrap  # one wrap impl
 
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
@@ -307,13 +301,7 @@ def sample_texture_row(textures, tex_id, uv, rotation, offset, scale):
     nearest = trow[:, 6].astype(jnp.int32)
     srgb = trow[:, 7].astype(jnp.int32)
 
-    def wrap(coord, size, mode):
-        rep = jnp.mod(coord, size)
-        clam = jnp.clip(coord, 0, size - 1)
-        period = 2 * size
-        m = jnp.mod(coord, period)
-        mir = jnp.where(m >= size, period - 1 - m, m)
-        return jnp.where(mode == WRAP_REPEAT, rep, jnp.where(mode == WRAP_CLAMP, clam, mir))
+    from gltf_renderer_tpu.ops.texture import _wrap as wrap  # one wrap impl
 
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)

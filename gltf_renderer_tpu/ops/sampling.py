@@ -310,8 +310,12 @@ def importance_map_pdf(mips, uv, alias_rows=None):
     1-D gathers from the (S, S) map are ~3x slower on TPU."""
     size = mips[0].shape[0]
     total_sum = jnp.maximum(mips[-1][0, 0], 1e-30)
-    # UVToPixel (Common.hlsli:12-15): (int2)(floor(uv * res) - .5)  — the -0.5
-    # before the int cast truncates toward zero, matching floor for >=0.
+    # UVToPixel (Common.hlsli:12-15): (int2)(floor(uv * res) - .5). NOTE the
+    # quirk: for integer f = floor(uv*res) >= 1 this yields f - 1 (f - 0.5
+    # truncates DOWN), i.e. the pdf lookup is offset one texel low on both
+    # axes vs a plain floor. Replicated exactly — "simplifying" this to
+    # floor(uv*size) would silently change every env MIS weight vs the
+    # reference.
     p = jnp.floor(uv * size) - 0.5
     p = jnp.clip(p.astype(jnp.int32), 0, size - 1)
     if alias_rows is not None:

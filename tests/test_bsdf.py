@@ -161,3 +161,31 @@ def test_attenuate():
         )
     )
     np.testing.assert_allclose(att0, [[1.0, 1.0, 1.0]], atol=1e-6)
+
+
+def test_clearcoat_eval_uses_shading_normal():
+    """Reference quirk (Bsdf.hlsli:275-279 vs PathTracer.lib.hlsl:394-411):
+    clearcoat EVALUATION is about the SHADING normal even though sampling/
+    pdf use clearcoat_normal. With a tilted clearcoat_normal the evaluated
+    BSDF must be invariant; with a tilted shading_normal it must change."""
+    import jax.numpy as jnp
+
+    n = 4
+    v = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    ld = jnp.asarray([0.3, 0.0, 0.954], jnp.float32)
+    l = jnp.broadcast_to(ld / jnp.linalg.norm(ld), (n, 3))
+    tilt = jnp.asarray([0.35, 0.0, 0.937], jnp.float32)
+    tilt = jnp.broadcast_to(tilt / jnp.linalg.norm(tilt), (n, 3))
+
+    base = _default_surface(n, clearcoat=jnp.ones((n, 1)))
+    f0 = np.asarray(bsdf.gltf_bsdf(base, v, l))
+    # Tilting clearcoat_normal alone: evaluation unchanged.
+    cc_tilt = _default_surface(n, clearcoat=jnp.ones((n, 1)),
+                               clearcoat_normal=tilt)
+    f1 = np.asarray(bsdf.gltf_bsdf(cc_tilt, v, l))
+    np.testing.assert_array_equal(f0, f1)
+    # Tilting shading_normal (same frame otherwise): clearcoat lobe moves.
+    sn_tilt = _default_surface(n, clearcoat=jnp.ones((n, 1)),
+                               shading_normal=tilt)
+    f2 = np.asarray(bsdf.gltf_bsdf(sn_tilt, v, l))
+    assert not np.allclose(f2, f0)
