@@ -338,7 +338,13 @@ def build_importance_map(cube_mips_0, cube_mips_rest):
     square = uv_to_unit_square(jnp.stack([ux, vy], -1))
     d = square_to_sphere(square)
     input_width = cube_mips[0].shape[1]
-    mip = jnp.clip(jnp.log2(6.0 * input_width / s), 0.0, len(cube_mips) - 1)
+    # GenerateEnvironmentImportanceMap.cs.hlsl:35: log2((6*size)/res) with
+    # UNSIGNED INTEGER division before the log2 — at cube 256 the reference
+    # reads 1536/1024 = 1 -> mip 0 (sharp), not log2(1.5) = 0.585.
+    ratio = (6 * input_width) // s
+    mip = jnp.clip(
+        jnp.log2(jnp.float32(max(ratio, 1e-30))), 0.0, len(cube_mips) - 1
+    )
     color = sample_cube(cube_mips, d, jnp.full((s, s), mip))
     lum = luminance(color)
     mips = [lum]
@@ -440,7 +446,8 @@ def build_environment(
     return jax.device_put(env)
 
 
-_ENV_CACHE_V = 1  # bump when prefilter/importance/alias construction changes
+_ENV_CACHE_V = 2  # bump when prefilter/importance/alias construction changes
+# (v2: importance source mip uses the reference's integer division)
 
 
 def _save_env_npz(path, env: EnvMaps) -> None:

@@ -243,15 +243,21 @@ def closest_hit(scene, meta, origin, direction, t_min, t_max, blend_mode=0, cull
 def slot_flag_words(world: WorldGeometry, materials, order: np.ndarray) -> np.ndarray:
     """Packed id/flag words in BVH slot order (ops/bvh FLAG_* bits).
 
-    BLEND groups alpha-BLEND *or* transmissive materials — the rasterizer's
-    blended-draw binning (Rasterizer.cpp:74-113)."""
+    BLEND groups alpha-BLEND or (non-MASK) transmissive materials — the
+    rasterizer's binning checks alpha mode FIRST (Rasterizer.cpp:106-113:
+    BLEND -> alpha bin, MASK -> alpha-test bin, THEN transmission>0 ->
+    transparent bin), so a MASK material with transmission stays in the
+    alpha-tested pass."""
     am = np.asarray(world.tri_alpha_mode)[order]
     ds = np.asarray(world.tri_double_sided)[order]
     tm = np.asarray(world.tri_material)[order]
     transmissive = np.asarray(materials.transmission_factor)[tm] > 0.0
     words = order.astype(np.int64).copy()
     words |= np.where(am == T.ALPHA_MODE_MASK, bvh_ops.FLAG_MASKED, 0)
-    words |= np.where((am == T.ALPHA_MODE_BLEND) | transmissive, bvh_ops.FLAG_BLEND, 0)
+    blend = (am == T.ALPHA_MODE_BLEND) | (
+        transmissive & (am != T.ALPHA_MODE_MASK)
+    )
+    words |= np.where(blend, bvh_ops.FLAG_BLEND, 0)
     words |= np.where(ds != 0, bvh_ops.FLAG_DOUBLE_SIDED, 0)
     return words.astype(np.int32)
 
@@ -322,7 +328,10 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         num_lights=int(len(np.asarray(lights.type))),
         has_masked=has_masked,
         has_env=env is not None,
-        has_blend=bool(((am == T.ALPHA_MODE_BLEND) | transmissive).any()),
+        has_blend=bool((
+            (am == T.ALPHA_MODE_BLEND)
+            | (transmissive & (am != T.ALPHA_MODE_MASK))
+        ).any()),
         used_slots=used_slots,
         has_sheen=has_sheen,
         has_clearcoat=has_clearcoat,
@@ -563,13 +572,22 @@ def _gather_tri_vertices(world: WorldGeometry, tri):
 
 
 def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir,
-                         with_footprint: bool = False) -> HitAttributes:
+                         with_footprint: bool = False,
+                         raster_flip: bool = False) -> HitAttributes:
     """GetVertexAttributes port on packed rows: 1 tri-row + 1 fused vertex-row
     gather (PathTracer.lib.hlsl:280-302).
 
     with_footprint: also compute uv_area_ratio = sqrt(uv0 area / world area)
     per triangle (texels-per-meter factor for raster mip selection; the PT
-    never asks — SampleLevel-0 parity)."""
+    never asks — SampleLevel-0 parity).
+
+    raster_flip: use Forward.ps.hlsl's backface convention instead of the
+    PT's. The two shaders flip DIFFERENTLY: the PT negates normal, tangent
+    and tangent.w and builds the bitangent afterwards
+    (PathTracer.lib.hlsl:842-846), while Forward.ps computes the bitangent
+    from the PRE-flip normal and then flips ONLY the normals
+    (Forward.ps.hlsl:115-120) — on a backface the raster TBN is (t, b, -n)
+    where the PT's is (-t, -b, -n) (round-4 parity review)."""
     from gltf_renderer_tpu.scene.flatten import (
         TRI_HAS_COLOR, TRI_HAS_TS, TRI_HAS_UV0, TRI_HAS_UV1,
     )
@@ -594,14 +612,22 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir,
     tangent_w = jnp.where(has_ts, t_w, 1.0)
 
     back = dot(gn_raw, ray_dir, keepdims=False) > 0.0
-    # Backface flip (PathTracer.lib.hlsl:842-846; tangent.w flips too).
-    gn = jnp.where(back[..., None], -gn, gn)
-    normal = jnp.where(back[..., None], -normal, normal)
-    tangent_xyz = jnp.where(back[..., None], -tangent_xyz, tangent_xyz)
-    tangent_w = jnp.where(back, -tangent_w, tangent_w)
-    tangent = jnp.concatenate([tangent_xyz, tangent_w[..., None]], -1)
+    if raster_flip:
+        # Forward.ps.hlsl:115-120: bitangent from the pre-flip normal and
+        # the UNFLIPPED tangent; only the normals are reversed.
+        bitangent = tangent_w[..., None] * normalize(cross(normal, tangent_xyz))
+        gn = jnp.where(back[..., None], -gn, gn)
+        normal = jnp.where(back[..., None], -normal, normal)
+        tangent = jnp.concatenate([tangent_xyz, tangent_w[..., None]], -1)
+    else:
+        # Backface flip (PathTracer.lib.hlsl:842-846; tangent.w flips too).
+        gn = jnp.where(back[..., None], -gn, gn)
+        normal = jnp.where(back[..., None], -normal, normal)
+        tangent_xyz = jnp.where(back[..., None], -tangent_xyz, tangent_xyz)
+        tangent_w = jnp.where(back, -tangent_w, tangent_w)
+        tangent = jnp.concatenate([tangent_xyz, tangent_w[..., None]], -1)
 
-    bitangent = tangent[..., 3:4] * normalize(cross(normal, tangent[..., :3]))
+        bitangent = tangent[..., 3:4] * normalize(cross(normal, tangent[..., :3]))
 
     has_col = ((fbits & TRI_HAS_COLOR) != 0)[..., None]
     col = jnp.where(has_col, w0 * r0[:, 14:18] + w1 * r1[:, 14:18] + w2 * r2[:, 14:18], 1.0)

@@ -49,34 +49,24 @@ def _sample_cube_trilinear(mips, direction, level):
     return sample_cube(mips, direction, level)
 
 
-def _bilinear_2d(img, uv):
-    h, w = img.shape[0], img.shape[1]
-    fx = uv[..., 0] * w - 0.5
-    fy = uv[..., 1] * h - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    tx = (fx - x0)[..., None]
-    ty = (fy - y0)[..., None]
-
-    def fetch(x, y):
-        return img[jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)]
-
-    return (fetch(x0, y0) * (1 - tx) + fetch(x0 + 1, y0) * tx) * (1 - ty) + (
-        fetch(x0, y0 + 1) * (1 - tx) + fetch(x0 + 1, y0 + 1) * tx
-    ) * ty
-
-
 def _jimenez_conv_kernel():
     """The 13-tap kernel at the exact 2x ratio as ONE 6x6 stride-2 conv
-    kernel: every tap lands on a texel pair, so each of the 13 bilinear taps
-    is a 2x2 box at a fixed integer shift (center + 4 inner at ±1 diag
-    weight 1/8, 4 edges at ±2 weight 1/16, 4 corners at ±2 diag 1/32)."""
+    kernel: every tap lands on a texel pair, so each bilinear tap is a 2x2
+    box at a fixed integer shift.
+
+    Tap weights replicate the reference shader's EXACT pattern-2 source —
+    including its copy-paste quirk (TransmissionDownsample.cs.hlsl:45-56):
+    the (+x,-y) taps appear TWICE at both the 1x and 2x diagonal rings and
+    the (-x,-y) taps are missing, so the kernel is asymmetric (double
+    weight toward +x,-y; zero toward -x,-y). +y in uv = +v = +row."""
     import numpy as np
 
     taps = [((0, 0), 0.125)]
-    taps += [((sy, sx), 0.125) for sy in (-1, 1) for sx in (-1, 1)]
+    # Inner diagonal ring, shader order: (x,y), (x,-y), (-x,y), (x,-y) dup.
+    taps += [((1, 1), 0.125), ((-1, 1), 0.25), ((1, -1), 0.125)]
     taps += [((0, -2), 0.0625), ((0, 2), 0.0625), ((-2, 0), 0.0625), ((2, 0), 0.0625)]
-    taps += [((sy, sx), 0.03125) for sy in (-2, 2) for sx in (-2, 2)]
+    # Outer diagonal ring, same duplication: (2x,2y), (2x,-2y) x2, (-2x,2y).
+    taps += [((2, 2), 0.03125), ((-2, 2), 0.0625), ((2, -2), 0.03125)]
     k = np.zeros((6, 6), np.float32)
     for (sy, sx), w in taps:
         for a in (0, 1):
@@ -100,20 +90,32 @@ def _jimenez_13tap(img, out_h, out_w):
     return jnp.moveaxis(out, 0, -1)
 
 
-def build_transmission_mips(lit, n_mips: int = 6, kernel: int = 1):
+def build_transmission_mips(lit, n_mips: Optional[int] = None, kernel: int = 1):
     """ForwardPass::GenerateTransmissionMips — backdrop blur pyramid.
 
-    kernel: 0 passthrough (2x2 decimate), 1 Bjørge dual-filter 5-tap,
-    2 CoD Jimenez 13-tap (TransmissionDownsample.cs.hlsl's three kernels).
-    """
+    kernel: 0 passthrough (the shader's default case: ONE linear sample at
+    the output pixel centre == a 2x2 box average at the exact 2x ratio,
+    TransmissionDownsample.cs.hlsl:59-62), 1 Bjørge dual-filter 5-tap,
+    2 CoD Jimenez 13-tap (with the reference's exact tap quirk — see
+    _jimenez_conv_kernel).
+
+    n_mips defaults to the FULL chain (floor(log2(max dim))+1): the
+    reference transmission texture is created with mipLevels=0
+    (Rasterizer.cpp:63) and Forward.ps.hlsl:254 maps roughness to
+    sqrt(a)*(mips-1), so a truncated 6-level pyramid would halve the blur
+    a given roughness selects at 1080p (round-4 parity review)."""
     from gltf_renderer_tpu.post.bloom import downsample
 
+    if n_mips is None:
+        n_mips = int(np.floor(np.log2(max(lit.shape[0], lit.shape[1], 1)))) + 1
     mips = [lit]
     cur = lit
     for _ in range(n_mips - 1):
         h, w = max(cur.shape[0] // 2, 1), max(cur.shape[1] // 2, 1)
         if kernel == 0:
-            cur = cur[: h * 2 : 2, : w * 2 : 2]
+            c2 = cur[: h * 2, : w * 2]
+            cur = 0.25 * (c2[0::2, 0::2] + c2[1::2, 0::2]
+                          + c2[0::2, 1::2] + c2[1::2, 1::2])
         elif kernel == 2:
             cur = _jimenez_13tap(cur, h, w)
         else:
@@ -149,7 +151,7 @@ def shade_forward(
     use_mips = mip_scale is not None and getattr(
         scene.textures, "mip_flat", None) is not None
     attrs = fetch_hit_attributes(scene.world, hit.tri, hit.u, hit.v, direction,
-                                 with_footprint=use_mips)
+                                 with_footprint=use_mips, raster_flip=True)
     mip_base = None
     if use_mips:
         cos_i = jnp.abs(dot(attrs.geometric_normal, direction, keepdims=False))
@@ -478,9 +480,10 @@ def render(
         u_flat = _to_tile_order(u_b)
         v_flat = _to_tile_order(v_b)
         tri_c = jnp.clip(tri_flat, 0, None)
-        is_blend = (
-            (scene.world.tri_alpha_mode[tri_c] == T.ALPHA_MODE_BLEND)
-            | (scene.materials.transmission_factor[scene.world.tri_material[tri_c]] > 0.0)
+        t_am = scene.world.tri_alpha_mode[tri_c]
+        is_blend = (t_am == T.ALPHA_MODE_BLEND) | (
+            (scene.materials.transmission_factor[scene.world.tri_material[tri_c]] > 0.0)
+            & (t_am != T.ALPHA_MODE_MASK)  # MASK wins (Rasterizer.cpp:106-113)
         )
         keep = (tri_flat >= 0) & (~is_blend)
         tiled_hit = (jnp.where(keep, tri_flat, -1), u_flat, v_flat)
@@ -530,9 +533,10 @@ def render(
 
             bg = env_intensity * env_radiance(scene.env, normalize(direction))
         else:
-            bg = params.environment_intensity * jnp.broadcast_to(
-                jnp.asarray(params.environment_color, jnp.float32), rgb.shape
-            )
+            # No environment: the reference rasterizer clears to black and
+            # draws no background (Rasterizer.cpp:183, :222-229) — unlike
+            # the PT, whose miss shader returns environment_color.
+            bg = jnp.zeros_like(rgb)
         lit = jnp.where(valid[..., None], rgb, bg)
         return lit, jnp.where(valid, hit.t, jnp.inf), hit.tri, hit.u, hit.v
 

@@ -130,3 +130,63 @@ def test_raster_motion_vectors(tmp_path):
     assert mv.shape == (res, res, 2)
     assert np.abs(mv[16, 16]).max() > 0.1  # box pixel moved
     assert np.abs(mv[0, 0]).max() == 0.0   # background = 0
+
+
+def test_transmission_kernels_reference_semantics():
+    """Kernel 0 == 2x2 box mean (the shader's single linear tap at the 2x
+    ratio); kernel 2 == the CoD 13-tap with the reference's copy-paste
+    quirk — validated against a direct per-tap bilinear reference."""
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.rand(16, 24, 3).astype(np.float32))
+
+    m0 = rasterizer.build_transmission_mips(img, n_mips=2, kernel=0)[1]
+    box = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2])
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(box), atol=1e-6)
+
+    # Direct tap reference (clamped 2x2 box per tap, matching the conv's
+    # edge padding): shader tap list VERBATIM incl. the duplicated (x,-y)
+    # and missing (-x,-y) taps.
+    m2 = np.asarray(rasterizer.build_transmission_mips(img, n_mips=2, kernel=2)[1])
+    src = np.asarray(jnp.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge"))
+
+    def tap(oy, ox, r, c):  # 2x2 box at integer shift (pre-pad coords)
+        y = 2 * r + oy + 2
+        x = 2 * c + ox + 2
+        return 0.25 * (src[y, x] + src[y + 1, x] + src[y, x + 1] + src[y + 1, x + 1])
+
+    taps = [((0, 0), 0.5),
+            ((1, 1), 0.5), ((-1, 1), 0.5), ((1, -1), 0.5), ((-1, 1), 0.5),
+            ((0, 2), 0.25), ((0, -2), 0.25), ((2, 0), 0.25), ((-2, 0), 0.25),
+            ((2, 2), 0.125), ((-2, 2), 0.125), ((2, -2), 0.125), ((-2, 2), 0.125)]
+    want = np.zeros_like(m2)
+    for r in range(m2.shape[0]):
+        for c in range(m2.shape[1]):
+            acc = np.zeros(3, np.float32)
+            for (oy, ox), w in taps:
+                acc += w * tap(oy, ox, r, c)
+            want[r, c] = acc / 4.0
+    np.testing.assert_allclose(m2, want, atol=1e-5)
+
+
+def test_raster_backface_tbn_forward_ps_convention(tmp_path):
+    """Forward.ps flips ONLY the normals on backfaces (bitangent from the
+    pre-flip normal); the PT flips normal+tangent+w. On a backface hit the
+    two conventions differ by exactly a tangent/bitangent sign."""
+    path = write_box_gltf(str(tmp_path / "box.gltf"))
+    ptscene, meta, cam = _setup(path, env=False)
+    world = ptscene.world
+    tri = jnp.asarray([0], jnp.int32)
+    u = jnp.asarray([0.3], jnp.float32)
+    v = jnp.asarray([0.3], jnp.float32)
+    # Front-face reference direction: along -geometric_normal.
+    a0 = pt.fetch_hit_attributes(world, tri, u, v,
+                                 -jnp.ones((1, 3)) * 0.0 + jnp.asarray([[0.0, 0.0, -1.0]]))
+    gn = np.asarray(a0.geometric_normal)[0]
+    back_dir = jnp.asarray(gn[None, :])  # along +n => backfacing
+    a_pt = pt.fetch_hit_attributes(world, tri, u, v, back_dir)
+    a_rs = pt.fetch_hit_attributes(world, tri, u, v, back_dir, raster_flip=True)
+    np.testing.assert_allclose(np.asarray(a_rs.normal), np.asarray(a_pt.normal), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a_rs.tangent[..., :3]), -np.asarray(a_pt.tangent[..., :3]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a_rs.bitangent), -np.asarray(a_pt.bitangent), atol=1e-6)
