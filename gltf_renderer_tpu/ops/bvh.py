@@ -949,6 +949,26 @@ def conservative_bf16_boxes(wide_nodes_f32: np.ndarray) -> np.ndarray:
     return out.reshape(-1, 24)
 
 
+def pack_bf16_pairs(bf16_rows: np.ndarray) -> np.ndarray:
+    """(N, 2K) bf16 -> (N, K) int32: value 2j in the LOW 16 bits of word j,
+    value 2j+1 in the HIGH 16 bits.
+
+    Mosaic cannot dynamically row-index a bf16 VMEM table ("cannot statically
+    prove that index in dimension 0 is a multiple of 8", measured on v5e), so
+    the bf16 node-box table ships as int32 words; the kernel re-expands with
+    one vector shift/mask + bitcast per row (bf16 -> f32 is exactly a 16-bit
+    left shift). Load bytes stay halved — that is the point of the table.
+    """
+    import ml_dtypes
+
+    bits = np.ascontiguousarray(
+        np.asarray(bf16_rows, dtype=ml_dtypes.bfloat16)
+    ).view(np.uint16).astype(np.uint32)
+    lo = bits[:, 0::2]
+    hi = bits[:, 1::2]
+    return np.ascontiguousarray(lo | (hi << np.uint32(16))).view(np.int32)
+
+
 # Empty-child sentinel: a far-away point box. A NaN box is NOT safe — Mosaic's
 # hardware min/max does not propagate NaN the way XLA does, so NaN bounds can
 # "hit" on TPU (observed: pushed garbage meta and hung the device). A point at

@@ -78,6 +78,38 @@ def _default_pop():
         return 1
 
 
+def pack_leaf_tiles(records: np.ndarray, words: np.ndarray) -> np.ndarray:
+    """(N, REC_GEO) f32 geometry + (N, LEAF_SIZE) i32 words -> (N, 8, 128)
+    f32 leaf tiles for the leaf_hbm kernel.
+
+    One leaf = one (8, 128) tile: flat lanes [0, REC_GEO) hold the geometry
+    row, [REC_GEO, REC_GEO+LEAF_SIZE) hold the id words bitcast to f32 (the
+    kernel bitcasts the row back to i32 in vector space). Mosaic DMA can
+    only move 8-row-aligned slices of a 2-D tiled table, so per-leaf copies
+    need the leaf to BE a tile — one DMA per leaf instead of two, at the
+    cost of padding 160 useful lanes to 1024 (the copies are latency-bound
+    at this size, so the extra bytes are free; HBM cost ~4 KB/leaf)."""
+    records = np.asarray(records, np.float32)
+    words = np.ascontiguousarray(np.asarray(words, np.int32))
+    n = records.shape[0]
+    assert records.shape[1] == REC_GEO and words.shape[1] == LEAF_SIZE
+    assert REC_GEO + LEAF_SIZE <= 2 * LANES
+    flat = np.zeros((n, 8 * LANES), np.float32)
+    flat[:, :REC_GEO] = records
+    flat[:, REC_GEO:REC_GEO + LEAF_SIZE] = words.view(np.float32)
+    return flat.reshape(n, 8, LANES)
+
+
+def pack_leaf_tiles_jnp(records, words):
+    """jit-able pack_leaf_tiles (the per-frame refit path repacks on-device)."""
+    n = records.shape[0]
+    wf = jax.lax.bitcast_convert_type(words.astype(jnp.int32), jnp.float32)
+    flat = jnp.zeros((n, 8 * LANES), jnp.float32)
+    flat = flat.at[:, :REC_GEO].set(records)
+    flat = flat.at[:, REC_GEO:REC_GEO + LEAF_SIZE].set(wf)
+    return flat.reshape(n, 8, LANES)
+
+
 # Stack entries popped per descent iteration. Multi-pop (POP>1) runs POP
 # independent pop->load->test chains per loop iteration — measured
 # END-TO-END NEUTRAL on a v5e (bench: POP=4 2.78 vs POP=1 2.86 Mrays/s
@@ -108,18 +140,18 @@ def _traverse_kernel(
 ):
     from gltf_renderer_tpu.ops.bvh import BLEND_EXCLUDE, BLEND_ONLY, FLAG_BLEND, FLAG_DOUBLE_SIDED
 
-    rec_buf = word_buf = dma_sem = None
+    rec_buf = dma_sem = None
     if any_hit == "lane":
         if leaf_hbm:
             (mode_ref, t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref,
-             rec_buf, word_buf, dma_sem) = rest
+             rec_buf, dma_sem) = rest
         else:
             mode_ref, t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
     else:
         mode_ref = None
         if leaf_hbm:
             (t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref,
-             rec_buf, word_buf, dma_sem) = rest
+             rec_buf, dma_sem) = rest
         else:
             t_ref, u_ref, v_ref, word_ref, stack_ref, queue_ref = rest
 
@@ -190,11 +222,27 @@ def _traverse_kernel(
             e_is_int = jnp.logical_and(active, (entry & WIDE_LEAF_BIT) == 0)
             node = jnp.where(e_is_int, entry & WIDE_ID_MASK, dummy_id)
             nrow = nodes_ref[node, :]
+            packed16 = nrow.dtype == jnp.int32
+            if packed16:
+                # bf16 node table (GLTF_TPU_BF16BOX) ships as int32 words
+                # (two bf16 box values per word — Mosaic cannot dynamically
+                # row-index a bf16 VMEM table). Expand to f32 in VECTOR space
+                # before the scalar extracts: bf16 -> f32 is a 16-bit left
+                # shift; even values live in the low half, odd in the high.
+                row_lo = jax.lax.bitcast_convert_type(
+                    nrow << 16, jnp.float32)
+                row_hi = jax.lax.bitcast_convert_type(
+                    nrow & jnp.int32(-65536), jnp.float32)
             mrow = meta_ref[node, :]
             bits = []
             for c in range(n_child):
-                lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
-                hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
+                if packed16:
+                    lox, loy = row_lo[3 * c], row_hi[3 * c]
+                    loz, hix = row_lo[3 * c + 1], row_hi[3 * c + 1]
+                    hiy, hiz = row_lo[3 * c + 2], row_hi[3 * c + 2]
+                else:
+                    lox, loy, loz = nrow[6 * c], nrow[6 * c + 1], nrow[6 * c + 2]
+                    hix, hiy, hiz = nrow[6 * c + 3], nrow[6 * c + 4], nrow[6 * c + 5]
                 tx0 = (lox - rays["ox"]) * rays["inv_x"]
                 tx1 = (hix - rays["ox"]) * rays["inv_x"]
                 ty0 = (loy - rays["oy"]) * rays["inv_y"]
@@ -231,31 +279,28 @@ def _traverse_kernel(
         return sp, qn, tuple(groups)
 
     def dma_start(qn, qbase):
-        """Start the FLUSH x 2 leaf-row copies for the queue's top FLUSH
+        """Start the FLUSH leaf-tile copies for the queue's top FLUSH
         entries; all start before any wait so the ~1-2 us latencies overlap
-        each other. Duplicate clamped reads re-copy a row — idempotent."""
+        each other. Duplicate clamped reads re-copy a tile — idempotent.
+
+        Each leaf is ONE (8, 128) f32 tile (pack_leaf_tiles: geometry rows +
+        bitcast id words). Mosaic requires DMA slices of a 2-D tiled table
+        to be 8-row aligned — a dynamic per-leaf row index cannot be proven
+        aligned ("Slice shape along dimension 0 must be aligned to tiling
+        (8), but is 1", measured on v5e) — so the table is 3-D (N, 8, 128)
+        and .at[leaf] moves a whole aligned tile."""
         for j in range(FLUSH):
             leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
             pltpu.make_async_copy(
-                recs_ref.at[pl.ds(leaf, 1)], rec_buf.at[pl.ds(j, 1)],
-                dma_sem.at[2 * j],
-            ).start()
-            pltpu.make_async_copy(
-                words_ref.at[pl.ds(leaf, 1)], word_buf.at[pl.ds(j, 1)],
-                dma_sem.at[2 * j + 1],
+                recs_ref.at[leaf], rec_buf.at[j], dma_sem.at[j],
             ).start()
 
     def dma_wait():
         # Reconstructed descriptors wait on the same semaphores for the same
-        # (static) byte counts — the row index doesn't matter for the wait.
+        # (static) byte counts — the tile index doesn't matter for the wait.
         for j in range(FLUSH):
             pltpu.make_async_copy(
-                recs_ref.at[pl.ds(0, 1)], rec_buf.at[pl.ds(j, 1)],
-                dma_sem.at[2 * j],
-            ).wait()
-            pltpu.make_async_copy(
-                words_ref.at[pl.ds(0, 1)], word_buf.at[pl.ds(j, 1)],
-                dma_sem.at[2 * j + 1],
+                recs_ref.at[0], rec_buf.at[j], dma_sem.at[j],
             ).wait()
 
     def leaf_compute(best, rays):
@@ -287,17 +332,34 @@ def _traverse_kernel(
         lane_any = rays["lane_any"]
         for j in range(FLUSH):
             if use_buf:
-                rrow = rec_buf[j, :]
-                wrow = word_buf[j, :]
+                # DMA'd leaf tile (pack_leaf_tiles): geometry occupies flat
+                # lanes [0, REC_GEO) = tile rows 0-1; the LEAF_SIZE id words
+                # ride bitcast-as-f32 at flat [REC_GEO, REC_GEO+LEAF_SIZE).
+                tile = rec_buf[j]
+                row0 = tile[0, :]
+                row1 = tile[1, :]
+                wvec = jax.lax.bitcast_convert_type(row1, jnp.int32)
+
+                def rval(i, row0=row0, row1=row1):
+                    return row0[i] if i < LANES else row1[i - LANES]
+
+                def wval(k, wvec=wvec):
+                    return wvec[REC_GEO - LANES + k]
             else:
                 leaf = queue_ref[qbase + jnp.maximum(qn - 1 - j, 0)]
                 rrow = recs_ref[leaf, :]
                 wrow = words_ref[leaf, :]
+
+                def rval(i, rrow=rrow):
+                    return rrow[i]
+
+                def wval(k, wrow=wrow):
+                    return wrow[k]
             for k in range(LEAF_SIZE):
-                p0x, p0y, p0z = rrow[9 * k], rrow[9 * k + 1], rrow[9 * k + 2]
-                e1x, e1y, e1z = rrow[9 * k + 3], rrow[9 * k + 4], rrow[9 * k + 5]
-                e2x, e2y, e2z = rrow[9 * k + 6], rrow[9 * k + 7], rrow[9 * k + 8]
-                word = wrow[k]
+                p0x, p0y, p0z = rval(9 * k), rval(9 * k + 1), rval(9 * k + 2)
+                e1x, e1y, e1z = rval(9 * k + 3), rval(9 * k + 4), rval(9 * k + 5)
+                e2x, e2y, e2z = rval(9 * k + 6), rval(9 * k + 7), rval(9 * k + 8)
+                word = wval(k)
 
                 # Möller–Trumbore (components, vector over packet).
                 pvx = rays["dy"] * e2z - rays["dz"] * e2y
@@ -461,7 +523,8 @@ def _traverse_kernel(
 def traverse_packets_wide(
     wide_nodes,  # (N4, 24) f32 box rows
     wide_meta,   # (N4, 4) i32 child meta words
-    records,     # (N, REC_GEO) f32 leaf geometry
+    records,     # (N, REC_GEO) f32 leaf geometry — or (N, 8, 128) f32
+    #              pack_leaf_tiles tiles when leaf_hbm (words then unused)
     words,       # (N, LEAF_SIZE) i32 id/flag words
     origin,      # (R, 3)
     direction,   # (R, 3)
@@ -504,11 +567,20 @@ def traverse_packets_wide(
     # Dummy node row: far-point boxes that never hit (same sentinel as empty
     # wide children, ops/bvh._EMPTY_BOX) — popped leaves box-test this row.
     dummy_id = wide_nodes.shape[0]
-    # Dtype follows the node table (f32, or conservative bf16 boxes —
-    # GLTF_TPU_BF16BOX; 3e38 is representable in bf16, max ~3.39e38).
-    nodes_x = jnp.concatenate(
-        [wide_nodes, jnp.full((1, wide_nodes.shape[1]), 3.0e38, wide_nodes.dtype)]
-    )
+    if wide_nodes.dtype == jnp.int32:
+        # i32-PACKED conservative bf16 boxes (GLTF_TPU_BF16BOX,
+        # bvh.pack_bf16_pairs): dummy row = bf16(3e38) in both halves
+        # (3e38 is representable in bf16, max ~3.39e38).
+        import ml_dtypes
+
+        bf_bits = np.asarray(3.0e38, ml_dtypes.bfloat16).view(np.uint16)
+        word = np.int32(
+            np.uint32(bf_bits) | (np.uint32(bf_bits) << np.uint32(16))
+        )
+        dummy_row = jnp.full((1, wide_nodes.shape[1]), word, jnp.int32)
+    else:
+        dummy_row = jnp.full((1, wide_nodes.shape[1]), 3.0e38, wide_nodes.dtype)
+    nodes_x = jnp.concatenate([wide_nodes, dummy_row])
     meta_x = jnp.concatenate(
         [wide_meta, jnp.full((1, wide_meta.shape[1]), WIDE_LEAF_BIT, jnp.int32)]
     )
@@ -539,9 +611,6 @@ def traverse_packets_wide(
     if any_hit == "lane":
         extra = [prep(mode.astype(jnp.int32), 0)]
         n_ray_specs = 9
-    leaf_spec = (
-        pl.BlockSpec(memory_space=pltpu.ANY) if leaf_hbm else table_spec
-    )
     scratch = [
         # +1: index MAX_STACK / QCAP is the trash slot for parallel
         # stores whose push bit is 0 (see descent_step).
@@ -549,21 +618,34 @@ def traverse_packets_wide(
         pltpu.SMEM((QCAP + 1,), jnp.int32),
     ]
     if leaf_hbm:
+        # Leaf tables ride as ONE (8, 128) f32 tile per leaf (pack_leaf_tiles
+        # — geometry + bitcast id words) in unpinned/HBM memory; the kernel
+        # DMAs whole aligned tiles (see dma_start). The words operand is a
+        # placeholder: the kernel's hbm branch never reads it.
+        if records.ndim != 3 or records.shape[1:] != (8, LANES):
+            raise ValueError(
+                "leaf_hbm needs pack_leaf_tiles records (N, 8, 128); got "
+                f"{records.shape}"
+            )
+        words_in = jnp.zeros((8, LANES), jnp.int32)
+        leaf_specs = [pl.BlockSpec(memory_space=pl.ANY), table_spec]
         scratch += [
-            pltpu.VMEM((FLUSH, records.shape[1]), jnp.float32),
-            pltpu.VMEM((FLUSH, words.shape[1]), jnp.int32),
-            pltpu.SemaphoreType.DMA((2 * FLUSH,)),
+            pltpu.VMEM((FLUSH, 8, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((FLUSH,)),
         ]
+    else:
+        words_in = words
+        leaf_specs = [table_spec, table_spec]
     t, u, v, word = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec] * 2 + [leaf_spec] * 2 + [ray_spec] * n_ray_specs,
+        in_specs=[table_spec] * 2 + leaf_specs + [ray_spec] * n_ray_specs,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(nodes_x, meta_x, records, words, ox, oy, oz, dx, dy, dz, tmn, tmx,
+    )(nodes_x, meta_x, records, words_in, ox, oy, oz, dx, dy, dz, tmn, tmx,
       *extra)
 
     t = t.reshape(-1)[:r]

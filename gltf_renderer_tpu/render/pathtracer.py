@@ -401,14 +401,18 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         # (conservative_bf16_boxes) — every f32 box is contained in its
         # bf16 box, so traversal can only over-visit, never miss; hit
         # results are bit-identical (triangle tests stay exact f32).
-        # Halves the node table's VMEM/load bytes.
-        wide_nodes_np = bvh_ops.conservative_bf16_boxes(wide_nodes_np)
+        # Ships i32-PACKED (two bf16 per word, pack_bf16_pairs): Mosaic
+        # cannot dynamically row-index a bf16 VMEM table. Halves the node
+        # table's VMEM/load bytes either way.
+        wide_nodes_np = bvh_ops.pack_bf16_pairs(
+            bvh_ops.conservative_bf16_boxes(wide_nodes_np)
+        )
     wide_nodes = jnp.asarray(wide_nodes_np)
     # Kernel leaf tables: only the LEAF rows go to VMEM (records are stored
     # per binary node; internal rows are zeros and would double the budget).
-    leaf_records = jnp.asarray(np.asarray(packed.records)[wide_maps_np.leaf_ids])
-    leaf_words = jnp.asarray(np.asarray(packed.words)[wide_maps_np.leaf_ids])
-    leaf_bytes = 4 * (leaf_records.size + leaf_words.size)
+    leaf_records_np = np.asarray(packed.records)[wide_maps_np.leaf_ids]
+    leaf_words_np = np.asarray(packed.words)[wide_maps_np.leaf_ids]
+    leaf_bytes = 4 * (leaf_records_np.size + leaf_words_np.size)
     node_bytes = (
         4 * wide_maps.meta.size + wide_nodes.size * wide_nodes.dtype.itemsize
     )
@@ -435,6 +439,18 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         wide_root=wide_root,
         leaf_hbm=leaf_hbm,
     )
+    if leaf_hbm and meta.use_pallas:
+        # HBM-resident leaves ship pre-packed as one (8, 128) f32 tile per
+        # leaf (geometry + bitcast id words) — the only per-leaf unit Mosaic
+        # DMA can move (pallas_trace.pack_leaf_tiles). words becomes a (1,
+        # LEAF_SIZE) stub so PTScene keeps its pytree structure.
+        from gltf_renderer_tpu.ops.pallas_trace import pack_leaf_tiles
+
+        leaf_records = jnp.asarray(pack_leaf_tiles(leaf_records_np, leaf_words_np))
+        leaf_words = jnp.zeros((1, leaf_words_np.shape[1]), jnp.int32)
+    else:
+        leaf_records = jnp.asarray(leaf_records_np)
+        leaf_words = jnp.asarray(leaf_words_np)
     # Proxy occluders for the shadow/bounce prepass (GLTF_TPU_SHADOWPRE=1,
     # optionally =K): the K largest-area STRICTLY OPAQUE triangles — valid
     # certain-occluders in every shadow mode (binary occludes on any
@@ -558,9 +574,13 @@ def _gather_tri_vertices(world: WorldGeometry, tri):
         return (trow[:, 3], trow[:, 4]), r0, r1, r2
     row = world.tri_attr_rows[tri_c]                 # (R, 64) f32 — one gather
     if row.dtype == jnp.bfloat16:
-        # bf16 table probe (GLTF_TPU_BF16ROWS): ids are plain bf16 ints.
-        material = row[:, 60].astype(jnp.int32)
-        fbits = row[:, 61].astype(jnp.int32)
+        # bf16 table (GLTF_TPU_BF16ROWS): material/flag ids ride as hi/lo
+        # BYTE pairs (each 0..255, bf16-exact — a plain bf16 int is only
+        # exact to 256, which would corrupt ids on >256-material scenes).
+        material = (row[:, 60].astype(jnp.int32)
+                    + (row[:, 62].astype(jnp.int32) << 8))
+        fbits = (row[:, 61].astype(jnp.int32)
+                 + (row[:, 63].astype(jnp.int32) << 8))
         row = row.astype(jnp.float32)
         return (material, fbits), row[:, 0:20], row[:, 20:40], row[:, 40:60]
     r0 = row[:, 0:20]
@@ -573,7 +593,8 @@ def _gather_tri_vertices(world: WorldGeometry, tri):
 
 def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir,
                          with_footprint: bool = False,
-                         raster_flip: bool = False) -> HitAttributes:
+                         raster_flip: bool = False,
+                         ray_origin=None, ray_t=None) -> HitAttributes:
     """GetVertexAttributes port on packed rows: 1 tri-row + 1 fused vertex-row
     gather (PathTracer.lib.hlsl:280-302).
 
@@ -599,6 +620,15 @@ def fetch_hit_attributes(world: WorldGeometry, tri, u, v, ray_dir,
 
     p0, p1, p2 = r0[:, 0:3], r1[:, 0:3], r2[:, 0:3]
     pos = w0 * p0 + w1 * p1 + w2 * p2
+    if (ray_origin is not None and ray_t is not None
+            and world.tri_attr_rows is not None
+            and world.tri_attr_rows.dtype == jnp.bfloat16):
+        # bf16 attribute rows (GLTF_TPU_BF16ROWS) would put ~0.4%-relative
+        # error in interpolated hit POSITIONS — the one attribute whose
+        # precision is image-critical (next-bounce ray origins). The hit t
+        # comes from the exact-f32 leaf-record triangle test, so o + t*d
+        # recovers an f32-accurate position for free.
+        pos = ray_origin + ray_t[..., None] * ray_dir
     gn_raw = cross(p1 - p0, p2 - p0)
     gn = normalize(gn_raw)
 
@@ -1550,7 +1580,8 @@ def _trace_rays(
         alive = alive & (~miss)
 
         # Shade hits.
-        attrs = fetch_hit_attributes(scene.world, hit.tri, hit.u, hit.v, direction)
+        attrs = fetch_hit_attributes(scene.world, hit.tri, hit.u, hit.v, direction,
+                                     ray_origin=origin, ray_t=hit.t)
         view = -direction
         sp, extras = get_surface_properties(
             scene.materials,

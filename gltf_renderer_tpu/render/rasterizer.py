@@ -151,7 +151,8 @@ def shade_forward(
     use_mips = mip_scale is not None and getattr(
         scene.textures, "mip_flat", None) is not None
     attrs = fetch_hit_attributes(scene.world, hit.tri, hit.u, hit.v, direction,
-                                 with_footprint=use_mips, raster_flip=True)
+                                 with_footprint=use_mips, raster_flip=True,
+                                 ray_origin=origin, ray_t=hit.t)
     mip_base = None
     if use_mips:
         cos_i = jnp.abs(dot(attrs.geometric_normal, direction, keepdims=False))

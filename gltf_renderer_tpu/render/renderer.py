@@ -300,11 +300,20 @@ class Renderer:
                 )
                 wide_nodes = bvh_ops.assemble_wide(packed.nodes, self._ptscene.wide_maps)
             leaf_ids = self._ptscene.wide_maps.leaf_ids
+            leaf_records = packed.records[leaf_ids]
+            leaf_words = packed.words[leaf_ids]
+            if self._meta.leaf_hbm and self._meta.use_pallas:
+                # HBM-leaf scenes carry (N, 8, 128) tiles (pallas_trace
+                # pack_leaf_tiles); repack on-device after the refit.
+                from gltf_renderer_tpu.ops.pallas_trace import pack_leaf_tiles_jnp
+
+                leaf_records = pack_leaf_tiles_jnp(leaf_records, leaf_words)
+                leaf_words = self._ptscene.leaf_words  # (1, LEAF_SIZE) stub
             self._ptscene = self._ptscene._replace(
                 world=world, bvh=tree, packed=packed, lights=lights_dev,
                 wide_nodes=wide_nodes,
-                leaf_records=packed.records[leaf_ids],
-                leaf_words=packed.words[leaf_ids],
+                leaf_records=leaf_records,
+                leaf_words=leaf_words,
             )
         return node_tf
 

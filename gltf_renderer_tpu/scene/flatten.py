@@ -108,6 +108,11 @@ TRI_HAS_COLOR = 8
 TRI_DOUBLE_SIDED = 16
 TRI_ALPHA_SHIFT = 5  # alpha_mode in bits 5-6
 
+# GLTF_TPU_BF16ROWS=auto threshold: bf16 hit-attribute rows kick in when the
+# f32 table would exceed ~32 MB (256 B/row). Measured crossover on v5e:
+# 274k-tri courtyard +20%, 48k-tri helmet -18% (CHIP_QUEUE_RESULTS round 4).
+_BF16ROWS_MIN_TRIS = 131072
+
 
 class WorldGeometry(NamedTuple):
     """Per-frame world-space flattened geometry (the PT/raster input)."""
@@ -303,17 +308,27 @@ def build_world_geometry(
         ],
         axis=1,
     )
-    if os.environ.get("GLTF_TPU_BF16ROWS", "0") == "1":
-        # A/B probe: bf16 hit-attribute table (half the HBM bytes/cache
-        # footprint; gathers are row-count bound so width is free, but the
-        # quad-atlas experiment showed TABLE size matters at Sponza scale).
-        # material/fbits ride as plain bf16 integers (exact to 256).
+    # bf16 hit-attribute table: half the HBM bytes/cache footprint. Measured
+    # on-chip (round 4): courtyard (70 MB f32 table) +20% PT throughput;
+    # helmet (12 MB) -18% — the per-fetch bf16->f32 convert only pays for
+    # itself when the table is big enough to be bandwidth/cache-bound. So
+    # AUTO (default) enables it above _BF16ROWS_MIN_TRIS. Hit POSITIONS are
+    # protected: fetch_hit_attributes rebuilds them as origin + t*dir (exact
+    # f32 from the leaf records' f32 triangle test) when rows are bf16.
+    # material/fbits ride as hi/lo byte pairs (each 0..255, bf16-exact).
+    bf16_env = os.environ.get("GLTF_TPU_BF16ROWS", "auto")
+    use_bf16 = bf16_env == "1" or (
+        bf16_env not in ("0", "1") and tv.shape[0] > _BF16ROWS_MIN_TRIS
+    )
+    if use_bf16:
+        mat_i = plan.tri_material.astype(jnp.int32)
         tri_attr_rows = jnp.concatenate(
             [
                 tri_attr_rows[:, 0:60].astype(jnp.bfloat16),
-                plan.tri_material.astype(jnp.bfloat16)[:, None],
-                flagbits.astype(jnp.bfloat16)[:, None],
-                jnp.zeros((tv.shape[0], 2), jnp.bfloat16),
+                (mat_i & 255).astype(jnp.bfloat16)[:, None],
+                (flagbits & 255).astype(jnp.bfloat16)[:, None],
+                (mat_i >> 8).astype(jnp.bfloat16)[:, None],
+                (flagbits >> 8).astype(jnp.bfloat16)[:, None],
             ],
             axis=1,
         )

@@ -256,7 +256,11 @@ def test_bf16_conservative_boxes_same_hits():
     out32 = traverse_packets_wide(
         jnp.asarray(wide), jnp.asarray(maps.meta), recs, words,
         o, d, t_min, t_max, root_meta=root_meta, interpret=True)
-    wide16 = jnp.asarray(conservative_bf16_boxes(wide))
+    # The production form is i32-PACKED pairs (Mosaic cannot dynamically
+    # row-index a bf16 VMEM table) — test exactly what ships.
+    wide16 = jnp.asarray(
+        bvh_ops.pack_bf16_pairs(conservative_bf16_boxes(wide)))
+    assert wide16.dtype == jnp.int32 and wide16.shape[1] == wide.shape[1] // 2
     out16 = traverse_packets_wide(
         wide16, jnp.asarray(maps.meta), recs, words,
         o, d, t_min, t_max, root_meta=root_meta, interpret=True)
@@ -308,13 +312,21 @@ def test_leaf_hbm_matches_vmem():
         dict(any_hit=True),
         dict(any_hit="lane", mode=mode),
     ]
+    from gltf_renderer_tpu.ops.pallas_trace import (
+        pack_leaf_tiles, pack_leaf_tiles_jnp,
+    )
+
+    tiles = jnp.asarray(pack_leaf_tiles(np.asarray(recs), np.asarray(words)))
+    # The on-device (refit-path) packer must produce the same tiles.
+    np.testing.assert_array_equal(
+        np.asarray(pack_leaf_tiles_jnp(recs, words)), np.asarray(tiles))
     for kw in cases:
         ref = traverse_packets_wide(
             wide, meta, recs, words, o, d, t_min, t_max,
             root_meta=root_meta, interpret=True, **kw)
         for hbm in (1, 2):  # flush-synchronous DMA / prefetch pipeline
             got = traverse_packets_wide(
-                wide, meta, recs, words, o, d, t_min, t_max,
+                wide, meta, tiles, words, o, d, t_min, t_max,
                 root_meta=root_meta, interpret=True, leaf_hbm=hbm, **kw)
             if hbm == 2 and kw.get("any_hit") in (True, "lane"):
                 # Prefetch reorders leaf batches; an any-hit lane may retire

@@ -204,3 +204,53 @@ def test_bf16_attr_rows_match_f32(monkeypatch):
         np.asarray(a32.position), np.asarray(a16.position), atol=2e-2, rtol=1e-2)
     dots = np.sum(np.asarray(a32.normal) * np.asarray(a16.normal), -1)
     assert (dots > 0.999).all()
+
+    # With the ray parameterization supplied, bf16 positions are rebuilt as
+    # origin + t*dir — EXACT f32, no bf16 error at all (next-bounce origins).
+    o = jnp.tile(jnp.asarray([[0.5, -0.25, -3.0]]), (n, 1))
+    t = jnp.linspace(1.0, 4.0, n)
+    a16p = pt.fetch_hit_attributes(world16, tri, u, v, d, ray_origin=o, ray_t=t)
+    np.testing.assert_array_equal(
+        np.asarray(a16p.position), np.asarray(o + t[:, None] * d))
+    # The f32 path ignores the ray params (interpolation stays golden-exact).
+    a32p = pt.fetch_hit_attributes(world32, tri, u, v, d, ray_origin=o, ray_t=t)
+    np.testing.assert_array_equal(
+        np.asarray(a32p.position), np.asarray(a32.position))
+
+
+def test_bf16_attr_rows_auto_gate_and_wide_ids(monkeypatch):
+    """GLTF_TPU_BF16ROWS=auto (default): f32 rows below _BF16ROWS_MIN_TRIS,
+    bf16 above (the measured v5e crossover). Material ids beyond 255 survive
+    the hi/lo byte split exactly (a plain bf16 int is only exact to 256)."""
+    from gltf_renderer_tpu.scene.procedural import write_materials_gltf
+    from gltf_renderer_tpu.scene.gltf import load_gltf
+    from gltf_renderer_tpu.scene import flatten as F
+
+    path = write_materials_gltf("/tmp/bf16_zoo2.gltf")
+    scene = load_gltf(path)
+    plan = F.build_instance_plan(scene)
+    tf = jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                             (len(scene.nodes), 1, 1)))
+    flags = F.plan_tri_flags(plan, scene.primitives)
+
+    monkeypatch.delenv("GLTF_TPU_BF16ROWS", raising=False)
+    w_small = F.build_world_geometry(scene.pools, plan, tf, tf, flags)
+    assert w_small.tri_attr_rows.dtype == jnp.float32  # under the threshold
+
+    monkeypatch.setattr(F, "_BF16ROWS_MIN_TRIS", 1)
+    w_big = F.build_world_geometry(scene.pools, plan, tf, tf, flags)
+    assert w_big.tri_attr_rows.dtype == jnp.bfloat16  # over the threshold
+
+    # Wide material ids: re-plan with ids pushed past 255 and check the
+    # gather reconstructs them exactly through the byte split.
+    plan_wide = plan._replace(
+        tri_material=plan.tri_material.astype(jnp.int32) + 300
+    )
+    w_wide = F.build_world_geometry(scene.pools, plan_wide, tf, tf, flags)
+    n = min(64, w_wide.tri_vertex.shape[0])
+    tri = jnp.arange(n, dtype=jnp.int32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    a = pt.fetch_hit_attributes(w_wide, tri, jnp.full(n, 0.3), jnp.full(n, 0.3), d)
+    np.testing.assert_array_equal(
+        np.asarray(a.material),
+        np.asarray(plan_wide.tri_material[:n], np.int32))

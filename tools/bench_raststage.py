@@ -103,7 +103,7 @@ def main():
 
     real_fetch = pt.fetch_hit_attributes
 
-    def stub_fetch(world, tri, u, v, ray_dir, with_footprint=False):
+    def stub_fetch(world, tri, u, v, ray_dir, with_footprint=False, **kw):
         z = jnp.zeros_like(ray_dir)
         up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), ray_dir.shape)
         t4 = jnp.concatenate(

@@ -43,30 +43,34 @@ def tunnel_alive() -> bool:
 
 def steps(quick: bool):
     """(name, argv, env, timeout_s) in priority order: plain numbers first
-    (a dead tunnel mid-queue should cost the A/Bs, not the headline)."""
+    (a dead tunnel mid-queue should cost the A/Bs, not the headline).
+
+    Round-4b queue (after the first tunnel-up sweep): bench defaults to
+    spp=4; bf16rows is auto (ON for courtyard-scale); bf16box is i32-packed
+    (now compiles); courtyard2's leaf_hbm DMA is tile-aligned. The XLA
+    fallback at courtyard2 scale FAULTED the device — intentionally absent."""
     bench = [sys.executable, "bench.py"]
     out = [
-        ("helmet", bench, {}, 900),
-        ("helmet_spp4", bench, {"BENCH_SPP": "4"}, 900),
+        ("helmet", bench, {}, 900),                      # spp4 default
+        ("helmet_spp1", bench, {"BENCH_SPP": "1"}, 900),  # vs round-3 3.30
         ("helmet_bf16box", bench, {"GLTF_TPU_BF16BOX": "1"}, 900),
-        ("helmet_bf16rows", bench, {"GLTF_TPU_BF16ROWS": "1"}, 900),
-        ("helmet_shadowpre", bench, {"GLTF_TPU_SHADOWPRE": "64"}, 900),
     ]
     if quick:
         return out  # helmet-only essentials, as documented
     out += [
         ("courtyard", bench, {"BENCH_SCENE": "courtyard"}, 1200),
+        ("courtyard_combo", bench,
+         {"BENCH_SCENE": "courtyard", "GLTF_TPU_SHADOWPRE": "64"}, 1200),
+        ("courtyard_f32rows", bench,
+         {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16ROWS": "0"}, 1200),
+        ("courtyard_bf16box", bench,
+         {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16BOX": "1"}, 1200),
         ("raster_frame", [sys.executable, "tools/bench_raster.py"], {}, 1200),
         ("raster_stages", [sys.executable, "tools/bench_raststage.py"], {}, 1500),
-        ("courtyard_spp4", bench, {"BENCH_SCENE": "courtyard", "BENCH_SPP": "4"}, 1200),
-        ("courtyard_bf16box", bench, {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16BOX": "1"}, 1200),
-        ("courtyard_bf16rows", bench, {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16ROWS": "1"}, 1200),
-        ("courtyard_shadowpre", bench, {"BENCH_SCENE": "courtyard", "GLTF_TPU_SHADOWPRE": "64"}, 1200),
-        # 1M-tri soak: auto leaf_hbm (packet kernel) vs forced XLA fallback.
+        # 1M-tri soak on the packet kernel: flush-synchronous vs prefetch DMA.
         ("courtyard2_leafhbm", bench, {"BENCH_SCENE": "courtyard2"}, 2400),
-        ("courtyard2_prefetch", bench, {"BENCH_SCENE": "courtyard2", "GLTF_TPU_LEAF_HBM": "2"}, 2400),
-        ("courtyard2_xla", bench, {"BENCH_SCENE": "courtyard2", "GLTF_TPU_LEAF_HBM": "0"}, 2400),
-        ("perlane_primitives", [sys.executable, "tools/bench_perlane.py"], {}, 1200),
+        ("courtyard2_prefetch", bench,
+         {"BENCH_SCENE": "courtyard2", "GLTF_TPU_LEAF_HBM": "2"}, 2400),
         # (bench_raster runs raycast AND tiled visibility internally.)
     ]
     return out
