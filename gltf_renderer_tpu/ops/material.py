@@ -200,6 +200,64 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
                              fi(x0l, y0l + 1), fi(x0l + 1, y0l + 1)])
             return ids, txl, tyl
 
+        if getattr(textures, "mip_quad", None) is not None:
+            # Quad-packed pyramid (GLTF_TPU_QUADMIPS): the 2x2 neighborhood
+            # is baked per mip texel, so trilinear costs TWO gather rows per
+            # (slot, ray) instead of eight. Corner-select exactly as the
+            # atlas_quad path: a wrapped +1 that collapses onto the same
+            # texel (CLAMP edge / 1-wide level) takes the center channel.
+            def level_quad(li):
+                mrow = textures.mip_rows[(tid_c * maxl + li).reshape(-1)].reshape(
+                    tid.shape + (-1,)
+                )
+                base_i = _bits(mrow[..., 0])
+                lw = mrow[..., 1].astype(jnp.int32)
+                lh = mrow[..., 2].astype(jnp.int32)
+                lwf = mrow[..., 1]
+                lhf = mrow[..., 2]
+                fxl = uv[..., 0] * lwf - 0.5
+                fyl = uv[..., 1] * lhf - 0.5
+                x0l = jnp.floor(fxl).astype(jnp.int32)
+                y0l = jnp.floor(fyl).astype(jnp.int32)
+                txl = (fxl - x0l)[..., None]
+                tyl = (fyl - y0l)[..., None]
+                x0l = jnp.where(
+                    is_near, jnp.floor(uv[..., 0] * lwf).astype(jnp.int32), x0l)
+                y0l = jnp.where(
+                    is_near, jnp.floor(uv[..., 1] * lhf).astype(jnp.int32), y0l)
+                txl = jnp.where(is_near[..., None], 0.0, txl)
+                tyl = jnp.where(is_near[..., None], 0.0, tyl)
+                w0x = wrap(x0l, lw, ws)
+                w0y = wrap(y0l, lh, wt)
+                use_xp = (wrap(x0l + 1, lw, ws) != w0x)[..., None]
+                use_yp = (wrap(y0l + 1, lh, wt) != w0y)[..., None]
+                return base_i + w0y * lw + w0x, use_xp, use_yp, txl, tyl
+
+            i0, xp0, yp0, tx0, ty0 = level_quad(l0)
+            i1, xp1, yp1, tx1, ty1 = level_quad(l1)
+            ids = jnp.stack([i0, i1])                             # (2, k, R)
+            m = textures.mip_quad.shape[0]
+            ids = jnp.clip(ids, 0, max(m - 1, 0))
+            q = textures.mip_quad[ids.reshape(-1)].reshape(
+                ids.shape + (-1,)
+            ).astype(jnp.float32)                                 # 1 gather
+
+            def bilq(qq, use_xp, use_yp, tx_, ty_):
+                c00 = qq[..., 0:4]
+                c10 = jnp.where(use_xp, qq[..., 4:8], c00)
+                c01 = jnp.where(use_yp, qq[..., 8:12], c00)
+                c11 = jnp.where(
+                    use_xp, jnp.where(use_yp, qq[..., 12:16], qq[..., 4:8]),
+                    jnp.where(use_yp, qq[..., 8:12], c00),
+                )
+                return (c00 * (1 - tx_) + c10 * tx_) * (1 - ty_) + (
+                    c01 * (1 - tx_) + c11 * tx_) * ty_
+
+            out = bilq(q[0], xp0, yp0, tx0, ty0) * (1 - lfrac) + bilq(
+                q[1], xp1, yp1, tx1, ty1) * lfrac
+            out = jnp.where(present[..., None], out, 1.0)
+            return {s: (out[i], present[i]) for i, s in enumerate(slots)}
+
         ids0, tx0, ty0 = level_corners(l0)
         ids1, tx1, ty1 = level_corners(l1)
         ids = jnp.concatenate([ids0, ids1])                       # (8, k, R)

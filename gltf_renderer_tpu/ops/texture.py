@@ -103,7 +103,7 @@ def build_atlas_quad(tex: TextureTable) -> TextureTable:
     return tex._replace(atlas_quad=q.reshape(-1, 16).astype(np.float16))
 
 
-def build_atlas_mips(tex: TextureTable) -> TextureTable:
+def build_atlas_mips(tex: TextureTable, quad: bool = False) -> TextureTable:
     """Bake every texture's full NPOT mip chain into one flat (M, 4) f16
     array + (T * MAXL, 4) addressing rows (host numpy, once per scene).
 
@@ -113,6 +113,13 @@ def build_atlas_mips(tex: TextureTable) -> TextureTable:
     that shader for exactly this purpose but never dispatches it). Textures
     whose chain ends early repeat their last level so the row table is
     rectangular and sampling is branch-free.
+
+    quad: also bake each mip texel's 2x2 bilinear neighborhood into a
+    (M, 16) f16 mip_quad table (same scheme as build_atlas_quad: +1
+    neighbors wrapped REPEAT-locally in the LEVEL rect; CLAMP exactness
+    comes from sample-time corner-select; skipped when any texture uses
+    MIRROR wrap or the pyramid is huge). Trilinear sampling then costs 2
+    gather rows per (slot, ray) instead of 8.
     """
     import numpy as np
 
@@ -181,9 +188,27 @@ def build_atlas_mips(tex: TextureTable) -> TextureTable:
     rows[:, :, 0] = bases.view(np.float32)
     flat = (np.concatenate(flat_parts, 0) if flat_parts
             else np.zeros((0, 4), np.float32))
+    mip_quad = None
+    from gltf_renderer_tpu.scene.types import WRAP_MIRROR
+
+    if (quad and flat.shape[0] and flat.shape[0] <= QUAD_ATLAS_MAX_TEXELS
+            and not (np.asarray(tex.wrap_s) == WRAP_MIRROR).any()
+            and not (np.asarray(tex.wrap_t) == WRAP_MIRROR).any()):
+        quad_parts = []
+        for chain in chains:
+            for lvl in chain:  # stored levels only (repeats share storage)
+                h_l, w_l = lvl.shape[0], lvl.shape[1]
+                lxp = (np.arange(w_l) + 1) % w_l
+                lyp = (np.arange(h_l) + 1) % h_l
+                quad_parts.append(np.concatenate(
+                    [lvl, lvl[:, lxp], lvl[lyp], lvl[lyp][:, lxp]], axis=-1
+                ).reshape(-1, 16))
+        mip_quad = np.concatenate(quad_parts, 0).astype(np.float16)
+        assert mip_quad.shape[0] == flat.shape[0]
     return tex._replace(
         mip_flat=flat.astype(np.float16),
         mip_rows=rows.reshape(t * maxl, 4),
+        mip_quad=mip_quad,
     )
 
 

@@ -362,7 +362,14 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         if os.environ.get("GLTF_TPU_NOMIPS", "0") != "1":
             from gltf_renderer_tpu.ops.texture import build_atlas_mips
 
-            textures = build_atlas_mips(textures)
+            # GLTF_TPU_QUADMIPS=1 additionally bakes the 2x2 neighborhoods
+            # per mip texel: raster trilinear drops 8 -> 2 gather rows per
+            # (slot, pixel) at 4x the pyramid bytes. The PT's quad-atlas
+            # lesson (bigger table loses) may not transfer: raster texel
+            # access is screen-coherent, so the A/B is queued, not assumed.
+            textures = build_atlas_mips(
+                textures, quad=os.environ.get("GLTF_TPU_QUADMIPS", "0") == "1"
+            )
     textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
     # texture metadata joined in: per-hit shading needs ONE material-row

@@ -212,6 +212,10 @@ class TextureTable(NamedTuple):
     # pad]; flat index = flat_base + y * level_w + x. Levels past a
     # texture's chain repeat its last (1x1) level, so sampling never needs
     # a per-texture level count. MAXL = mip_rows.shape[0] // T (static).
+    mip_quad: Any = None  # (M, 16) f16 — mip_flat with each texel's 2x2
+    # bilinear neighborhood baked per LEVEL rect (same scheme/caveats as
+    # atlas_quad; GLTF_TPU_QUADMIPS=1). Trilinear then gathers 2 rows per
+    # (slot, ray) instead of 8 — the raster draw_scene's dominant gather.
 
 
 class GeometryPools(NamedTuple):

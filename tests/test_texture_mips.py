@@ -124,6 +124,46 @@ def test_trilinear_is_between_levels():
     assert lo - 1e-3 <= vm <= hi + 1e-3
 
 
+@pytest.mark.parametrize("wrap", [T.WRAP_REPEAT, T.WRAP_CLAMP])
+def test_quad_mips_bit_match_four_corner(wrap):
+    """GLTF_TPU_QUADMIPS path (2 gather rows/sample) must reproduce the
+    8-row trilinear path exactly — the baked neighbors ARE the wrapped
+    corners, and on CLAMP collapse the corner-select picks the center."""
+    img = (np.random.RandomState(7).rand(13, 9, 4) * 255).astype(np.uint8)
+    tex = _one_texture_table(img, wrap=wrap)
+    tex_q = build_atlas_mips(
+        tex._replace(mip_flat=None, mip_rows=None, mip_quad=None), quad=True)
+    assert tex_q.mip_quad is not None
+    np.testing.assert_array_equal(
+        np.asarray(tex_q.mip_flat), np.asarray(tex.mip_flat))
+    rows = np.zeros((1, MATERIAL_ROW_FACTORS + MATERIAL_SLOT_STRIDE * 15),
+                    np.float32)
+    rows[0, 0:4] = 1.0
+    b = MATERIAL_ROW_FACTORS
+    rows[0, b + 5] = 1.0
+    rows[0, b + 6] = 1.0
+    tex_rows = np.array([[0, 0, 9, 13, wrap, wrap, 0, 0, 0]], np.float32)
+    rows = jnp.asarray(compact_material_rows(rows, (0,), tex_rows))
+    rs = np.random.RandomState(8)
+    n = 256
+    uv = jnp.asarray((rs.rand(n, 2) * 2.5 - 0.75).astype(np.float32))
+    row = rows[jnp.zeros(n, jnp.int32)]
+    mip_base = jnp.asarray(rs.uniform(-8, 6, n).astype(np.float32))
+    ref = sample_slots_fused(row, tex, (0,), uv, uv, (0,), True,
+                             mip_base=mip_base)[0][0]
+    got = sample_slots_fused(row, tex_q, (0,), uv, uv, (0,), True,
+                             mip_base=mip_base)[0][0]
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_quad_mips_skipped_on_mirror():
+    img = (np.random.RandomState(9).rand(8, 8, 4) * 255).astype(np.uint8)
+    tex = _one_texture_table(img, wrap=T.WRAP_MIRROR)
+    tex_q = build_atlas_mips(
+        tex._replace(mip_flat=None, mip_rows=None, mip_quad=None), quad=True)
+    assert tex_q.mip_quad is None  # mirror replicas need -1 neighbors
+
+
 if __name__ == "__main__":
     import sys
 

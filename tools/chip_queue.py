@@ -58,6 +58,7 @@ def steps(quick: bool):
     if quick:
         return out  # helmet-only essentials, as documented
     out += [
+        ("raster_stages", [sys.executable, "tools/bench_raststage.py"], {}, 1500),
         ("courtyard", bench, {"BENCH_SCENE": "courtyard"}, 1200),
         ("courtyard_combo", bench,
          {"BENCH_SCENE": "courtyard", "GLTF_TPU_SHADOWPRE": "64"}, 1200),
@@ -66,7 +67,6 @@ def steps(quick: bool):
         ("courtyard_bf16box", bench,
          {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16BOX": "1"}, 1200),
         ("raster_frame", [sys.executable, "tools/bench_raster.py"], {}, 1200),
-        ("raster_stages", [sys.executable, "tools/bench_raststage.py"], {}, 1500),
         # 1M-tri soak on the packet kernel: flush-synchronous vs prefetch DMA.
         ("courtyard2_leafhbm", bench, {"BENCH_SCENE": "courtyard2"}, 2400),
         ("courtyard2_prefetch", bench,
