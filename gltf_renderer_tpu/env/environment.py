@@ -57,6 +57,11 @@ class EnvMaps(NamedTuple):
     equirect: Any          # (H, W, 3) source
     importance_quads: List[Any] = None  # quad-packed mips (one-gather descent)
     alias_rows: Any = None  # (S*S, 4) Walker alias table (O(1) env sampling)
+    ggx_quad: Any = None   # (sum 6*S*S, 12) f32: each ggx-pyramid texel with
+    # its face-clamped +x/+y/+xy neighbors baked in — raster IBL trilinear
+    # then gathers 2 rows/pixel instead of 8 (build_cube_quads; bit-exact,
+    # ~4x the pyramid's few MB). GLTF_TPU_QUADCUBE=0 disables.
+    diffuse_quad: Any = None  # (6*D*D, 12) f32 — same for the diffuse cube
 
 
 # ---------------------------------------------------------------------------
@@ -85,12 +90,49 @@ def sample_equirect(img, uv):
     return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
 
 
-def sample_cube_level(faces, direction):
+def build_cube_quads(mips) -> Any:
+    """Bake each cube-pyramid texel's face-clamped 2x2 bilinear neighborhood
+    into one flat (sum 6*S*S, 12) array (host numpy, once per scene).
+
+    Cube bilinear is face-CLAMPED (sample_cube_level), so the baked +1
+    neighbors are plain clamps inside each face — sample-time corner-select
+    (a clamped +1 collapsing onto the same texel takes the center channel)
+    reproduces the 4-corner path bit-exactly. Raster IBL's trilinear cube
+    fetch then costs 2 gather rows per pixel instead of 8 — the largest
+    single cost in the measured 1080p draw ablation (+139 ms of 333 ms)."""
+    parts = []
+    for m in mips:
+        img = np.asarray(m)                     # (6, S, S, C)
+        s = img.shape[1]
+        xp = np.minimum(np.arange(s) + 1, s - 1)
+        q = np.concatenate(
+            [img, img[:, :, xp], img[:, xp], img[:, xp][:, :, xp]], axis=-1
+        )
+        parts.append(q.reshape(-1, q.shape[-1]))
+    return np.concatenate(parts, 0)
+
+
+def _quad_bilerp(q, use_xp, use_yp, tx, ty):
+    """Bilinear over one quad row [c00, c10, c01, c11] with corner-select."""
+    c = q.shape[-1] // 4
+    c00 = q[..., 0:c]
+    c10 = jnp.where(use_xp, q[..., c:2 * c], c00)
+    c01 = jnp.where(use_yp, q[..., 2 * c:3 * c], c00)
+    c11 = jnp.where(
+        use_xp, jnp.where(use_yp, q[..., 3 * c:4 * c], q[..., c:2 * c]),
+        jnp.where(use_yp, q[..., 2 * c:3 * c], c00),
+    )
+    return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
+        c01 * (1 - tx) + c11 * tx) * ty
+
+
+def sample_cube_level(faces, direction, quad=None):
     """Bilinear within one cube mip (faces (6, S, S, 3)); face-clamped.
 
     All four corners ride ONE flat row gather — per-gather fixed cost
     dominates on TPU (docs/PERFORMANCE.md), so 4 separate (face, y, x)
-    gathers cost ~4x this."""
+    gathers cost ~4x this. With `quad` (build_cube_quads of [faces]) the
+    four corners ride ONE quad row — a single R-row gather."""
     face, uv = direction_to_cubemap(direction)
     s = faces.shape[1]
     fx = uv[..., 0] * s - 0.5
@@ -99,9 +141,18 @@ def sample_cube_level(faces, direction):
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
+    base = face * (s * s)
+
+    if quad is not None:
+        w0x = jnp.clip(x0, 0, s - 1)
+        w0y = jnp.clip(y0, 0, s - 1)
+        use_xp = (jnp.clip(x0 + 1, 0, s - 1) != w0x)[..., None]
+        use_yp = (jnp.clip(y0 + 1, 0, s - 1) != w0y)[..., None]
+        q = quad[(base + w0y * s + w0x).reshape(-1)].reshape(
+            face.shape + (quad.shape[-1],))
+        return _quad_bilerp(q, use_xp, use_yp, tx, ty)
 
     flat = faces.reshape(-1, faces.shape[-1])
-    base = face * (s * s)
 
     def flat_idx(xi, yi):
         return base + jnp.clip(yi, 0, s - 1) * s + jnp.clip(xi, 0, s - 1)
@@ -115,17 +166,20 @@ def sample_cube_level(faces, direction):
     return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
 
 
-def sample_cube(mips: List[Any], direction, level):
+def sample_cube(mips: List[Any], direction, level, quad=None):
     """Trilinear across a mip list; `level` may be fractional (R,).
 
     ONE fused gather over the flattened mip pyramid: the 8 contributing
     texels (4 bilinear corners x 2 levels) gather together from a
     concatenated flat pyramid with static per-level offsets — the per-level
     loop this replaces paid one full gather PER MIP and kept two
-    (docs/PERFORMANCE.md: per-gather fixed cost dominates)."""
+    (docs/PERFORMANCE.md: per-gather fixed cost dominates).
+
+    quad (build_cube_quads(mips)): corners ride baked quad rows — TWO
+    gather rows per ray instead of eight, bit-identical output."""
     n = len(mips)
     if n == 1:
-        return sample_cube_level(mips[0], direction)
+        return sample_cube_level(mips[0], direction, quad=quad)
     level = jnp.clip(level, 0.0, n - 1)
     l0 = jnp.floor(level).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n - 1)
@@ -133,11 +187,37 @@ def sample_cube(mips: List[Any], direction, level):
 
     sizes_py = [m.shape[1] for m in mips]
     offs_py = list(np.cumsum([0] + [6 * s * s for s in sizes_py[:-1]]))
-    flat = jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips])
     sizes = jnp.asarray(sizes_py, jnp.int32)
     offs = jnp.asarray(offs_py, jnp.int32)
 
     face, uv = direction_to_cubemap(direction)
+
+    if quad is not None:
+        def level_quad(li):
+            s = sizes[li]
+            off = offs[li]
+            sf = s.astype(jnp.float32)
+            fx = uv[..., 0] * sf - 0.5
+            fy = uv[..., 1] * sf - 0.5
+            x0 = jnp.floor(fx).astype(jnp.int32)
+            y0 = jnp.floor(fy).astype(jnp.int32)
+            tx = (fx - x0)[..., None]
+            ty = (fy - y0)[..., None]
+            w0x = jnp.clip(x0, 0, s - 1)
+            w0y = jnp.clip(y0, 0, s - 1)
+            use_xp = (jnp.clip(x0 + 1, 0, s - 1) != w0x)[..., None]
+            use_yp = (jnp.clip(y0 + 1, 0, s - 1) != w0y)[..., None]
+            return off + face * (s * s) + w0y * s + w0x, use_xp, use_yp, tx, ty
+
+        i0, xp0, yp0, tx0, ty0 = level_quad(l0)
+        i1, xp1, yp1, tx1, ty1 = level_quad(l1)
+        ids = jnp.stack([i0, i1])                       # (2, R)
+        q = quad[ids.reshape(-1)].reshape(ids.shape + (quad.shape[-1],))
+        out0 = _quad_bilerp(q[0], xp0, yp0, tx0, ty0)
+        out1 = _quad_bilerp(q[1], xp1, yp1, tx1, ty1)
+        return out0 * (1 - frac) + out1 * frac
+
+    flat = jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips])
 
     def corner_ids(li):
         s = sizes[li]

@@ -480,6 +480,21 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
             )
         occluder_idx = jnp.asarray(cand)
         meta = meta._replace(shadow_prepass=True)
+    if (env is not None and getattr(env, "ggx", None)
+            and getattr(env, "ggx_quad", None) is None
+            and os.environ.get("GLTF_TPU_QUADCUBE", "1") != "0"):
+        # Quad-pack the IBL cube pyramids for the raster backend: the 1080p
+        # draw ablation measured the trilinear cube fetch as the single
+        # largest draw cost (+139 ms of 333 ms); baked 2x2 neighborhoods
+        # drop it from 8 gather rows/pixel to 2, bit-exactly, for ~4x a
+        # few-MB pyramid. Host numpy, once per scene (the env disk cache
+        # stays quad-free so its version key is untouched).
+        from gltf_renderer_tpu.env.environment import build_cube_quads
+
+        env = env._replace(
+            ggx_quad=jnp.asarray(build_cube_quads(env.ggx)),
+            diffuse_quad=jnp.asarray(build_cube_quads([env.diffuse])),
+        )
     scene = PTScene(
         world=world,
         bvh=bvh_ops._as_device(tree),

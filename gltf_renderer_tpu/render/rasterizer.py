@@ -43,10 +43,10 @@ from gltf_renderer_tpu.utils.math import dot, normalize, reflect, saturate
 MAX_BLEND_LAYERS = 4  # depth-sorted transparent layers composited per pixel
 
 
-def _sample_cube_trilinear(mips, direction, level):
+def _sample_cube_trilinear(mips, direction, level, quad=None):
     from gltf_renderer_tpu.env.environment import sample_cube
 
-    return sample_cube(mips, direction, level)
+    return sample_cube(mips, direction, level, quad=quad)
 
 
 def _jimenez_conv_kernel():
@@ -205,8 +205,10 @@ def shade_forward(
             an_normal + bend[..., None] * (sp.shading_normal - an_normal)
         )
 
+        ggx_quad = getattr(scene.env, "ggx_quad", None)
         l = reflect(-view, bent_normal)
-        ld = env_intensity * _sample_cube_trilinear(ggx_mips, l, mip)
+        ld = env_intensity * _sample_cube_trilinear(ggx_mips, l, mip,
+                                                    quad=ggx_quad)
 
         n_dot_v = saturate(dot(sp.shading_normal, view, keepdims=False))
         a = sp.roughness_squared[..., 1]
@@ -226,7 +228,9 @@ def shade_forward(
             (1.0 - dfg)
             * sp.albedo
             * env_intensity
-            * _sample_cube_trilinear(diffuse_cube, sp.shading_normal, jnp.zeros_like(a))
+            * _sample_cube_trilinear(diffuse_cube, sp.shading_normal,
+                                     jnp.zeros_like(a),
+                                     quad=getattr(scene.env, "diffuse_quad", None))
         )
 
         if transmission_mips is not None and meta.has_transmission:
@@ -289,7 +293,8 @@ def shade_forward(
                 sp.clearcoat_roughness[..., 0] * (n_mips - 1), 0.0, n_mips - 1
             )
             cc_l = reflect(-view, sp.clearcoat_normal)
-            cc_ld = env_intensity * _sample_cube_trilinear(ggx_mips, cc_l, cc_mip)
+            cc_ld = env_intensity * _sample_cube_trilinear(
+                ggx_mips, cc_l, cc_mip, quad=ggx_quad)
             ibl = fresnel_coat(
                 1.5, sp.clearcoat, ibl, cc_ld, dot(sp.clearcoat_normal, view)
             )

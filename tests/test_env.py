@@ -266,3 +266,27 @@ def test_piz_corrupt_bitmap_span_rejected():
     bad = struct.pack("<HH", 60000, 60001) + b"\x01\x01" + struct.pack("<i", 24) + b"\x00" * 24
     with pytest.raises(Exception):
         piz.piz_uncompress(bad, [("R", 1)], 4, 4)
+
+
+def test_cube_quad_sampling_bit_exact(env):
+    """build_cube_quads + quad sampling (the raster IBL 2-row path) must be
+    bit-identical to the 8-row fused trilinear gather, including face-edge
+    clamps and level endpoints."""
+    rs = np.random.RandomState(11)
+    d = rs.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    n = len(env.ggx)
+    quad = jnp.asarray(E.build_cube_quads(env.ggx))
+    for lvl in [
+        jnp.zeros(512),
+        jnp.full(512, n - 1.0),
+        jnp.asarray(rs.uniform(-1.0, n + 1.0, 512).astype(np.float32)),
+    ]:
+        ref = E.sample_cube(env.ggx, d, lvl)
+        got = E.sample_cube(env.ggx, d, lvl, quad=quad)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    dq = jnp.asarray(E.build_cube_quads([env.diffuse]))
+    ref = E.sample_cube([env.diffuse], d, jnp.zeros(512))
+    got = E.sample_cube([env.diffuse], d, jnp.zeros(512), quad=dq)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -126,7 +126,7 @@ def main():
 
     real_cube = R._sample_cube_trilinear
 
-    def stub_cube(mips, direction, level):
+    def stub_cube(mips, direction, level, **kw):
         return jnp.full(direction.shape[:-1] + (3,), 0.3)
 
     import gltf_renderer_tpu.render.rasterizer as RR
