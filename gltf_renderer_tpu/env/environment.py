@@ -62,6 +62,8 @@ class EnvMaps(NamedTuple):
     # then gathers 2 rows/pixel instead of 8 (build_cube_quads; bit-exact,
     # ~4x the pyramid's few MB). GLTF_TPU_QUADCUBE=0 disables.
     diffuse_quad: Any = None  # (6*D*D, 12) f32 — same for the diffuse cube
+    cube0_quad: Any = None  # (6*S*S, 12) f32 — same for cube level 0 (the
+    # PT's miss-radiance + env-NEE color fetches, 2x 4-row gathers/bounce)
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +569,8 @@ def _load_env_npz(path) -> EnvMaps:
 
 def env_radiance(env: EnvMaps, direction):
     """Miss-shader env lookup: cube level 0 (Miss:1040-1042)."""
-    return sample_cube_level(env.cube[0], direction)
+    return sample_cube_level(env.cube[0], direction,
+                             quad=getattr(env, "cube0_quad", None))
 
 
 def env_sample(env: EnvMaps, u2):
@@ -589,7 +592,8 @@ def env_sample(env: EnvMaps, u2):
         # (PathTracer.lib.hlsl:700) and identical to the descent path; the
         # alias row's texel-center color is only a fallback for tables
         # built without a cube map.
-        color = sample_cube_level(env.cube[0], direction)
+        color = sample_cube_level(env.cube[0], direction,
+                                  quad=getattr(env, "cube0_quad", None))
         return direction, color, pdf / (4.0 * PI)
     if env.importance_quads:
         uv, pdf = sampling.sample_importance_map_quads(
@@ -599,7 +603,8 @@ def env_sample(env: EnvMaps, u2):
         uv, pdf = sampling.sample_importance_map(env.importance, u2)
     direction = square_to_sphere(uv_to_unit_square(uv))
     pdf = pdf / (4.0 * PI)
-    color = sample_cube_level(env.cube[0], direction)
+    color = sample_cube_level(env.cube[0], direction,
+                              quad=getattr(env, "cube0_quad", None))
     return direction, color, pdf
 
 

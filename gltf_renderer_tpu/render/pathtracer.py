@@ -494,6 +494,7 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         env = env._replace(
             ggx_quad=jnp.asarray(build_cube_quads(env.ggx)),
             diffuse_quad=jnp.asarray(build_cube_quads([env.diffuse])),
+            cube0_quad=jnp.asarray(build_cube_quads([env.cube[0]])),
         )
     scene = PTScene(
         world=world,
