@@ -188,16 +188,30 @@ def sample_cube(mips: List[Any], direction, level, quad=None):
     frac = (level - l0.astype(jnp.float32))[..., None]
 
     sizes_py = [m.shape[1] for m in mips]
-    offs_py = list(np.cumsum([0] + [6 * s * s for s in sizes_py[:-1]]))
-    sizes = jnp.asarray(sizes_py, jnp.int32)
-    offs = jnp.asarray(offs_py, jnp.int32)
+    offs_py = [int(o) for o in np.cumsum([0] + [6 * s * s for s in sizes_py[:-1]])]
+
+    def _level_select(li, vals):
+        # Per-level constants via a fused where-chain instead of tiny-table
+        # gathers: on TPU, `table[li]` costs the same ~13.5 ns/index as any
+        # gather (tools/bench_gathermodel.py) while n-1 selects fuse into
+        # the surrounding elementwise kernel for free.
+        out = jnp.full_like(li, vals[0])
+        for k in range(1, len(vals)):
+            out = jnp.where(li == k, vals[k], out)
+        return out
+
+    def sizes(li):
+        return _level_select(li, sizes_py)
+
+    def offs(li):
+        return _level_select(li, offs_py)
 
     face, uv = direction_to_cubemap(direction)
 
     if quad is not None:
         def level_quad(li):
-            s = sizes[li]
-            off = offs[li]
+            s = sizes(li)
+            off = offs(li)
             sf = s.astype(jnp.float32)
             fx = uv[..., 0] * sf - 0.5
             fy = uv[..., 1] * sf - 0.5
@@ -222,8 +236,8 @@ def sample_cube(mips: List[Any], direction, level, quad=None):
     flat = jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips])
 
     def corner_ids(li):
-        s = sizes[li]
-        off = offs[li]
+        s = sizes(li)
+        off = offs(li)
         sf = s.astype(jnp.float32)
         fx = uv[..., 0] * sf - 0.5
         fy = uv[..., 1] * sf - 0.5

@@ -171,10 +171,16 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         lfrac = (lvl - l0.astype(jnp.float32))[..., None]
         tid_c = jnp.clip(tid, 0, max(n_tex - 1, 0))
 
-        def level_corners(li):
-            mrow = textures.mip_rows[(tid_c * maxl + li).reshape(-1)].reshape(
-                tid.shape + (-1,)
-            )
+        # ONE fused (2, ...) mip-metadata gather for both trilinear levels —
+        # two separate R-row gathers cost ~2x one 2R-row gather on TPU
+        # (tools/bench_gathermodel.py: gather cost is per-index with fused
+        # rows amortizing).
+        meta_ids = jnp.stack([tid_c * maxl + l0, tid_c * maxl + l1])
+        mrow2 = textures.mip_rows[meta_ids.reshape(-1)].reshape(
+            meta_ids.shape + (-1,)
+        )
+
+        def level_corners(li, mrow):
             base_i = _bits(mrow[..., 0])  # bitcast int32 (exact past 2^24)
             lw = mrow[..., 1].astype(jnp.int32)
             lh = mrow[..., 2].astype(jnp.int32)
@@ -206,10 +212,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
             # (slot, ray) instead of eight. Corner-select exactly as the
             # atlas_quad path: a wrapped +1 that collapses onto the same
             # texel (CLAMP edge / 1-wide level) takes the center channel.
-            def level_quad(li):
-                mrow = textures.mip_rows[(tid_c * maxl + li).reshape(-1)].reshape(
-                    tid.shape + (-1,)
-                )
+            def level_quad(li, mrow):
                 base_i = _bits(mrow[..., 0])
                 lw = mrow[..., 1].astype(jnp.int32)
                 lh = mrow[..., 2].astype(jnp.int32)
@@ -233,8 +236,8 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
                 use_yp = (wrap(y0l + 1, lh, wt) != w0y)[..., None]
                 return base_i + w0y * lw + w0x, use_xp, use_yp, txl, tyl
 
-            i0, xp0, yp0, tx0, ty0 = level_quad(l0)
-            i1, xp1, yp1, tx1, ty1 = level_quad(l1)
+            i0, xp0, yp0, tx0, ty0 = level_quad(l0, mrow2[0])
+            i1, xp1, yp1, tx1, ty1 = level_quad(l1, mrow2[1])
             ids = jnp.stack([i0, i1])                             # (2, k, R)
             m = textures.mip_quad.shape[0]
             ids = jnp.clip(ids, 0, max(m - 1, 0))
@@ -258,8 +261,8 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
             out = jnp.where(present[..., None], out, 1.0)
             return {s: (out[i], present[i]) for i, s in enumerate(slots)}
 
-        ids0, tx0, ty0 = level_corners(l0)
-        ids1, tx1, ty1 = level_corners(l1)
+        ids0, tx0, ty0 = level_corners(l0, mrow2[0])
+        ids1, tx1, ty1 = level_corners(l1, mrow2[1])
         ids = jnp.concatenate([ids0, ids1])                       # (8, k, R)
         m = textures.mip_flat.shape[0]
         ids = jnp.clip(ids, 0, max(m - 1, 0))

@@ -290,8 +290,16 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         inputs = jax.tree.map(np.asarray, inputs)
         with jax.default_device(cpu):
             scene, meta = make_pt_scene(*inputs, env=env, on_cpu=False)
+            # Re-attach the env FROM THE BUILT SCENE, not the caller's arg:
+            # the recursive build augments it (quad-packed cube pyramids).
+            # Re-attaching the original silently dropped every quad table on
+            # TPU runs — the round-4 profiler found the raster frame running
+            # the 4-corner cube paths it was supposed to have replaced.
+            built_env = jax.tree.map(np.asarray, scene.env)
             host = jax.tree.map(np.asarray, scene._replace(env=None))
-        return jax.device_put(host)._replace(env=jax.device_put(env)), meta
+        # numpy leaves -> device_put lands on the DEFAULT device; re-wrapping
+        # the CPU-backend jax arrays directly would leave the env CPU-pinned.
+        return jax.device_put(host)._replace(env=jax.device_put(built_env)), meta
 
     wpos = np.asarray(world.position)
     tv = np.asarray(world.tri_vertex)

@@ -193,36 +193,60 @@ _CUBE_V_DIR = jnp.array(
 
 
 def cubemap_to_direction(face, uv):
-    """(face, uv in [0,1]^2) -> unit direction. Transforms.hlsli:10-50."""
-    st = uv * 2.0 - 1.0
-    fd = _CUBE_FACE_DIR[face]
-    ud = _CUBE_U_DIR[face]
-    vd = _CUBE_V_DIR[face]
-    return normalize(fd + st[..., 0:1] * ud + st[..., 1:2] * vd)
+    """(face, uv in [0,1]^2) -> unit direction. Transforms.hlsli:10-50.
+
+    The per-face basis is applied as branchless selects instead of
+    `_CUBE_*_DIR[face]` table rows: a (6,3)-table gather costs the TPU the
+    same ~13.5 ns/index as any gather (tools/bench_gathermodel.py — gather
+    cost is per-INDEX, table size immaterial), while the selects fuse into
+    the surrounding elementwise kernel for free. Each component equals the
+    old fd + u*ud + v*vd sum exactly (one nonzero term per component)."""
+    su = uv[..., 0] * 2.0 - 1.0
+    sv = uv[..., 1] * 2.0 - 1.0
+    one = jnp.ones_like(su)
+
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(
+            face == 0, c0,
+            jnp.where(face == 1, c1,
+                      jnp.where(face == 2, c2,
+                                jnp.where(face == 3, c3,
+                                          jnp.where(face == 4, c4, c5)))))
+
+    x = pick(one, -one, su, su, su, -su)
+    y = pick(-sv, -sv, one, -one, -sv, -sv)
+    z = pick(-su, su, sv, -sv, one, -one)
+    return normalize(jnp.stack([x, y, z], axis=-1))
 
 
 def direction_to_cubemap(d):
     """Unit direction -> (face, uv) matching cubemap_to_direction.
 
     Standard D3D cube addressing: major axis selects the face; uv derived
-    from the per-face (u_dir, v_dir) axes above.
+    from the per-face (u_dir, v_dir) axes above — applied arithmetically
+    (sign flips + axis selects, no `[face]` table gathers; same rationale
+    and exactness as cubemap_to_direction).
     """
-    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     is_x = (ax >= ay) & (ax >= az)
     is_y = (~is_x) & (ay >= az)
     face = jnp.where(
         is_x,
-        jnp.where(d[..., 0] >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3), jnp.where(d[..., 2] >= 0, 4, 5)),
+        jnp.where(dx >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(dy >= 0, 2, 3), jnp.where(dz >= 0, 4, 5)),
     )
     ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
-    fd = _CUBE_FACE_DIR[face]
-    ud = _CUBE_U_DIR[face]
-    vd = _CUBE_V_DIR[face]
+    sx = jnp.where(dx >= 0, 1.0, -1.0)
+    sy = jnp.where(dy >= 0, 1.0, -1.0)
+    sz = jnp.where(dz >= 0, 1.0, -1.0)
+    # u = d . u_dir[face], v = d . v_dir[face] with the tables inlined:
+    # faces 0/1 (+-x): u = -+dz, v = -dy;  2/3 (+-y): u = dx, v = +-dz;
+    # faces 4/5 (+-z): u = +-dx, v = -dy.
+    u = jnp.where(is_x, -sx * dz, jnp.where(is_y, dx, sz * dx))
+    v = jnp.where(is_y, sy * dz, -dy)
     inv = 1.0 / jnp.maximum(ma, 1e-20)
-    u = jnp.sum(d * ud, axis=-1) * inv
-    v = jnp.sum(d * vd, axis=-1) * inv
-    uv = (jnp.stack([u, v], axis=-1) + 1.0) * 0.5
+    uv = (jnp.stack([u * inv, v * inv], axis=-1) + 1.0) * 0.5
     return face, uv
 
 
