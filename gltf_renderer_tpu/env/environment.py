@@ -482,16 +482,12 @@ def build_environment(
         # alias row: NEE needs no cube lookup for the sampled direction
         # (sub-texel deviation from the reference's bilinear cube sample at
         # the jittered direction — see docs/PARITY.md).
-        s_imp = importance[0].shape[0]
-        tex_uv = (jnp.stack(
-            jnp.meshgrid(jnp.arange(s_imp), jnp.arange(s_imp), indexing="xy"),
-            axis=-1,
-        ).reshape(-1, 2).astype(jnp.float32) + 0.5) / s_imp
-        tex_dir = square_to_sphere(uv_to_unit_square(tex_uv))
-        tex_rgb = sample_cube_level(cube_mips[0], tex_dir)
+        # Slim 4-wide rows: env_sample re-fetches radiance from cube level 0
+        # at the jittered direction (reference-exact), so texel-center
+        # colors would be dead columns — at 1024^2 rows they were 60% of a
+        # cache-miss-bound gather (docs/PERFORMANCE.md round-4c profile).
         alias_rows = jnp.asarray(
-            sampling.build_alias_rows(np.asarray(importance[0]),
-                                      np.asarray(tex_rgb))
+            sampling.build_alias_rows(np.asarray(importance[0]))
         )
         return EnvMaps(
             cube=cube_mips, ggx=ggx, diffuse=diffuse, importance=importance,
@@ -542,7 +538,7 @@ def build_environment(
     return jax.device_put(env)
 
 
-_ENV_CACHE_V = 2  # bump when prefilter/importance/alias construction changes
+_ENV_CACHE_V = 3  # bump when prefilter/importance/alias construction changes
 # (v2: importance source mip uses the reference's integer division)
 
 

@@ -77,7 +77,8 @@ def compact_material_rows(rows, used_slots, tex_rows=None):
 
 
 def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
-                       compact=False, mip_base=None):
+                       compact=False, mip_base=None, identity_uv=False,
+                       wrap_modes=(0, 1, 2), any_nearest=True):
     """Sample several texture slots with TWO gathers total.
 
     Replaces per-slot sampling (1 metadata + 4 texel gathers per slot): all
@@ -113,7 +114,11 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     scl = jnp.stack([row[:, b + 5 : b + 7] for b in bases])
 
     uv = jnp.where((uvset == 1)[..., None], uv1[None], uv0[None])
-    uv = transform_uv(uv, rot, off, scl)
+    if not identity_uv:
+        # Skipped when every used slot's KHR_texture_transform is identity
+        # (PTMeta.identity_uv): the per-ray cos/sin alone profiled ~4% of a
+        # transform-free PT step. Identity transform_uv returns uv exactly.
+        uv = transform_uv(uv, rot, off, scl)
     present = tid >= 0
 
     if compact:
@@ -136,7 +141,10 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     nearest = trow[..., 6].astype(jnp.int32)
     srgb = trow[..., 7].astype(jnp.int32)
 
-    from gltf_renderer_tpu.ops.texture import _wrap as wrap  # one wrap impl
+    from gltf_renderer_tpu.ops.texture import _wrap  # one wrap impl
+
+    def wrap(coord, size, mode):
+        return _wrap(coord, size, mode, modes=wrap_modes)
 
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
@@ -147,14 +155,17 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
 
-    # Nearest filter folds into the corner weights (no extra gather).
-    nx = jnp.floor(uv[..., 0] * wf).astype(jnp.int32)
-    ny = jnp.floor(uv[..., 1] * hf).astype(jnp.int32)
-    is_near = nearest == 1
-    x0 = jnp.where(is_near, nx, x0)
-    y0 = jnp.where(is_near, ny, y0)
-    tx = jnp.where(is_near[..., None], 0.0, tx)
-    ty = jnp.where(is_near[..., None], 0.0, ty)
+    # Nearest filter folds into the corner weights (no extra gather);
+    # statically skipped when no used texture is point-sampled
+    # (PTMeta.any_nearest).
+    if any_nearest:
+        nx = jnp.floor(uv[..., 0] * wf).astype(jnp.int32)
+        ny = jnp.floor(uv[..., 1] * hf).astype(jnp.int32)
+        is_near = nearest == 1
+        x0 = jnp.where(is_near, nx, x0)
+        y0 = jnp.where(is_near, ny, y0)
+        tx = jnp.where(is_near[..., None], 0.0, tx)
+        ty = jnp.where(is_near[..., None], 0.0, ty)
 
     if mip_base is not None and getattr(textures, "mip_flat", None) is not None:
         # Trilinear mip path: per-slot level, TWO (k*R)-row mip-metadata
@@ -165,7 +176,8 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         suv = jnp.maximum(jnp.abs(scl[..., 0] * scl[..., 1]), 1e-12)
         lvl = mip_base[None] + 0.5 * jnp.log2(area) + 0.5 * jnp.log2(suv)
         lvl = jnp.clip(lvl, 0.0, maxl - 1.0)
-        lvl = jnp.where(nearest == 1, 0.0, lvl)
+        if any_nearest:
+            lvl = jnp.where(nearest == 1, 0.0, lvl)
         l0 = jnp.floor(lvl).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, maxl - 1)
         lfrac = (lvl - l0.astype(jnp.float32))[..., None]
@@ -192,10 +204,13 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
             y0l = jnp.floor(fyl).astype(jnp.int32)
             txl = (fxl - x0l)[..., None]
             tyl = (fyl - y0l)[..., None]
-            x0l = jnp.where(is_near, jnp.floor(uv[..., 0] * lwf).astype(jnp.int32), x0l)
-            y0l = jnp.where(is_near, jnp.floor(uv[..., 1] * lhf).astype(jnp.int32), y0l)
-            txl = jnp.where(is_near[..., None], 0.0, txl)
-            tyl = jnp.where(is_near[..., None], 0.0, tyl)
+            if any_nearest:
+                x0l = jnp.where(
+                    is_near, jnp.floor(uv[..., 0] * lwf).astype(jnp.int32), x0l)
+                y0l = jnp.where(
+                    is_near, jnp.floor(uv[..., 1] * lhf).astype(jnp.int32), y0l)
+                txl = jnp.where(is_near[..., None], 0.0, txl)
+                tyl = jnp.where(is_near[..., None], 0.0, tyl)
 
             def fi(xi, yi):
                 xi = wrap(xi, lw, ws)
@@ -224,12 +239,15 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
                 y0l = jnp.floor(fyl).astype(jnp.int32)
                 txl = (fxl - x0l)[..., None]
                 tyl = (fyl - y0l)[..., None]
-                x0l = jnp.where(
-                    is_near, jnp.floor(uv[..., 0] * lwf).astype(jnp.int32), x0l)
-                y0l = jnp.where(
-                    is_near, jnp.floor(uv[..., 1] * lhf).astype(jnp.int32), y0l)
-                txl = jnp.where(is_near[..., None], 0.0, txl)
-                tyl = jnp.where(is_near[..., None], 0.0, tyl)
+                if any_nearest:
+                    x0l = jnp.where(
+                        is_near, jnp.floor(uv[..., 0] * lwf).astype(jnp.int32),
+                        x0l)
+                    y0l = jnp.where(
+                        is_near, jnp.floor(uv[..., 1] * lhf).astype(jnp.int32),
+                        y0l)
+                    txl = jnp.where(is_near[..., None], 0.0, txl)
+                    tyl = jnp.where(is_near[..., None], 0.0, tyl)
                 w0x = wrap(x0l, lw, ws)
                 w0y = wrap(y0l, lh, wt)
                 use_xp = (wrap(x0l + 1, lw, ws) != w0x)[..., None]
@@ -409,13 +427,16 @@ def _slot_from_row(row, slot, used_slots=ALL_SLOTS, compact=False):
 
 
 def slot_sample_row(row, textures, slot, uv0, uv1, used_slots=ALL_SLOTS,
-                    compact=False):
+                    compact=False, identity_uv=False, wrap_modes=(0, 1, 2),
+                    any_nearest=True):
     """Sample one slot from packed rows. Static skip when the slot is unused
     by every material in the scene."""
     if slot not in used_slots:
         ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
         return ones, jnp.zeros(uv0.shape[:-1], bool)
-    out = sample_slots_fused(row, textures, (slot,), uv0, uv1, used_slots, compact)
+    out = sample_slots_fused(row, textures, (slot,), uv0, uv1, used_slots, compact,
+                             identity_uv=identity_uv, wrap_modes=wrap_modes,
+                             any_nearest=any_nearest)
     return out[slot]
 
 
@@ -432,10 +453,12 @@ def slot_sample(materials, textures, mat_id, slot, uv0, uv1):
 
 
 def get_base_color_row(row, textures, uv0, uv1, vertex_color, used_slots=ALL_SLOTS,
-                       compact=False):
+                       compact=False, identity_uv=False, wrap_modes=(0, 1, 2),
+                       any_nearest=True):
     base = row[:, 0:4] * vertex_color
     rgba, _ = slot_sample_row(row, textures, T.TEX_ALBEDO, uv0, uv1, used_slots,
-                              compact)
+                              compact, identity_uv=identity_uv,
+                              wrap_modes=wrap_modes, any_nearest=any_nearest)
     return base * rgba
 
 
@@ -511,17 +534,24 @@ def get_surface_properties(
     used_slots: Tuple[int, ...] = ALL_SLOTS,
     rows_compact: bool = False,
     mip_base=None,
+    identity_uv: bool = False,
+    wrap_modes: Tuple[int, ...] = (0, 1, 2),
+    any_nearest: bool = True,
 ):
     """Returns (SurfaceProperties, SurfaceExtras).
 
     One material-row gather + ONE fused metadata gather + ONE fused atlas
     gather across every used texture slot (sample_slots_fused). mip_base:
-    optional (R,) log2 uv footprint for trilinear mip sampling (raster)."""
+    optional (R,) log2 uv footprint for trilinear mip sampling (raster).
+    identity_uv / wrap_modes: static scene facts (PTMeta) that specialize
+    away per-ray uv-transform and unused wrap variants."""
     row = materials.rows[mat_id]
 
     active = tuple(s for s in used_slots if s in ALL_SLOTS)
     tex = sample_slots_fused(row, textures, active, uv0, uv1, used_slots,
-                             rows_compact, mip_base=mip_base)
+                             rows_compact, mip_base=mip_base,
+                             identity_uv=identity_uv, wrap_modes=wrap_modes,
+                             any_nearest=any_nearest)
     ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
     no = jnp.zeros(uv0.shape[:-1], bool)
 

@@ -210,7 +210,12 @@ def build_alias_rows(importance_map, texel_rgb=None) -> "np.ndarray":
         (small if q[l] < 1.0 else large).append(l)
     # Leftovers (numerical slack) keep themselves with probability 1.
     vals = np.asarray(importance_map, np.float32).reshape(-1)
-    rows = np.zeros((n, 10), np.float32)
+    # Without texel colors the rows are 16 B instead of 40 B. Scenes with a
+    # cube map never read the color columns (env_sample re-fetches radiance
+    # bilinearly from cube level 0), yet the gather still paid for them:
+    # the 1024^2 x 40 B table is cache-miss bound (profiled 3.8 GiB/s, 15%
+    # of a PT step), so dead columns are real HBM traffic.
+    rows = np.zeros((n, 10 if texel_rgb is not None else 4), np.float32)
     rows[:, 0] = thresh.astype(np.float32)
     rows[:, 1] = alias.astype(np.int32).view(np.float32)
     rows[:, 2] = vals
@@ -238,7 +243,10 @@ def sample_importance_alias(rows, size, total, u4):
     alias_idx = jax.lax.bitcast_convert_type(r[..., 1], jnp.int32)
     texel = jnp.where(take_alias, alias_idx, b)
     value = jnp.where(take_alias, r[..., 3], r[..., 2])
-    rgb = jnp.where(take_alias[..., None], r[..., 7:10], r[..., 4:7])
+    if r.shape[-1] >= 10:
+        rgb = jnp.where(take_alias[..., None], r[..., 7:10], r[..., 4:7])
+    else:  # slim 4-wide table (no baked colors — caller fetches the cube)
+        rgb = jnp.zeros(take_alias.shape + (3,), r.dtype)
     px = (texel % size).astype(jnp.float32)
     py = (texel // size).astype(jnp.float32)
     uv = jnp.stack(
@@ -319,7 +327,11 @@ def importance_map_pdf(mips, uv, alias_rows=None):
     p = jnp.floor(uv * size) - 0.5
     p = jnp.clip(p.astype(jnp.int32), 0, size - 1)
     if alias_rows is not None:
-        value = alias_rows[p[..., 1] * size + p[..., 0], 2]
+        # Gather the FULL row, then slice column 2: `rows[idx, 2]` lowers to
+        # a 1-element gather that runs ~6x below per-index speed on TPU
+        # (profiled 1.5 GiB/s, 43 ms/trace; tools/bench_gathermodel.py shows
+        # width is free while 1-wide gathers scalarize).
+        value = alias_rows[p[..., 1] * size + p[..., 0]][..., 2]
     else:
         value = mips[0][p[..., 1], p[..., 0]]
     return float(size) * float(size) * value / total_sum

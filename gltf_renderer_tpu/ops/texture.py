@@ -224,14 +224,30 @@ def transform_uv(uv, rotation, offset, scale):
     return jnp.stack([ru + offset[..., 0], rv + offset[..., 1]], axis=-1)
 
 
-def _wrap(coord, size, mode):
-    """Integer texel wrap. coord (R,), size (R,), mode (R,)."""
-    rep = jnp.mod(coord, size)
-    clam = jnp.clip(coord, 0, size - 1)
-    period = 2 * size
-    m = jnp.mod(coord, period)
-    mir = jnp.where(m >= size, period - 1 - m, m)
-    out = jnp.where(mode == WRAP_REPEAT, rep, jnp.where(mode == WRAP_CLAMP, clam, mir))
+def _wrap(coord, size, mode, modes=(WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR)):
+    """Integer texel wrap. coord (R,), size (R,), mode (R,).
+
+    `modes` (static) lists the wrap modes present among the scene's used
+    textures (PTMeta.wrap_modes): only those variants are computed — the
+    mirror path alone is two extra mods per coordinate per ray."""
+    def rep():
+        return jnp.mod(coord, size)
+
+    def clam():
+        return jnp.clip(coord, 0, size - 1)
+
+    def mir():
+        period = 2 * size
+        m = jnp.mod(coord, period)
+        return jnp.where(m >= size, period - 1 - m, m)
+
+    variants = {WRAP_REPEAT: rep, WRAP_CLAMP: clam, WRAP_MIRROR: mir}
+    present = [m for m in (WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR) if m in modes]
+    if len(present) == 1:
+        return variants[present[0]]()
+    out = variants[present[-1]]()
+    for m in reversed(present[:-1]):
+        out = jnp.where(mode == m, variants[m](), out)
     return out
 
 

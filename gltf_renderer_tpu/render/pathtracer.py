@@ -98,6 +98,13 @@ class PTMeta(NamedTuple):
     # per-flush DMA (1) or the prefetch pipeline (2) — scenes whose LEAF
     # tables bust the VMEM budget still run the packet kernel (nodes+meta
     # stay resident)
+    identity_uv: bool = False  # every used slot's KHR_texture_transform is
+    # identity -> skip the per-ray cos/sin uv transform (profiled ~4% of a
+    # PT step on transform-free scenes)
+    wrap_modes: tuple = (0, 1, 2)  # wrap modes present among used textures
+    # (repeat/clamp/mirror) — _wrap computes only these variants
+    any_nearest: bool = True  # any used texture point-sampled — False skips
+    # the per-ray nearest-filter corner fold in sample_slots_fused
 
 
 # Pallas packet kernel needs nodes + compact leaf records resident in VMEM.
@@ -332,6 +339,30 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
     )
     has_masked = bool((am == T.ALPHA_MODE_MASK).any())
     has_blend_mode = bool((am == T.ALPHA_MODE_BLEND).any())
+    # Static texture-addressing facts (specialize away per-ray work that is
+    # constant for the scene — see PTMeta.identity_uv / wrap_modes):
+    mrows_np = np.asarray(materials.rows)
+    identity_uv = True
+    wrap_set = set()
+    any_nearest = False
+    tex_rows_probe = None if textures.rows is None else np.asarray(textures.rows)
+    for s in used_slots:
+        b = T.MATERIAL_ROW_FACTORS + T.MATERIAL_SLOT_STRIDE * s
+        tid = mrows_np[:, b].view(np.int32)
+        on = tid >= 0
+        if not on.any():
+            continue
+        identity_uv = identity_uv and bool(
+            (mrows_np[on, b + 2] == 0.0).all()
+            and (mrows_np[on, b + 3:b + 5] == 0.0).all()
+            and (mrows_np[on, b + 5:b + 7] == 1.0).all()
+        )
+        if tex_rows_probe is not None and tex_rows_probe.shape[0]:
+            trs = tex_rows_probe[np.clip(tid[on], 0, tex_rows_probe.shape[0] - 1)]
+            wrap_set.update(int(v) for v in np.unique(trs[:, 4]))
+            wrap_set.update(int(v) for v in np.unique(trs[:, 5]))
+            any_nearest = any_nearest or bool((trs[:, 6] == 1.0).any())
+    wrap_modes = tuple(sorted(wrap_set)) if wrap_set else (0,)
     meta = PTMeta(
         num_lights=int(len(np.asarray(lights.type))),
         has_masked=has_masked,
@@ -345,6 +376,9 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         has_clearcoat=has_clearcoat,
         has_transmission=has_transmission,
         has_alpha_layer=has_masked or has_blend_mode,
+        identity_uv=identity_uv,
+        wrap_modes=wrap_modes,
+        any_nearest=any_nearest,
     )
     # Pre-decode the atlas to linear f16 (decode-at-load, the reference's
     # hardware sRGB views — Gltf.cpp:1048-1078): the per-hit sRGB pow over
@@ -353,14 +387,13 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         from gltf_renderer_tpu.ops.texture import build_atlas_quad, decode_atlas_linear
 
         textures = decode_atlas_linear(jax.tree.map(np.asarray, textures))
-        # Quad-packing the bilinear neighborhoods (1 row gather per
-        # (slot, ray) instead of 4 — build_atlas_quad) is a measured NET
-        # LOSS in the PT path despite the 4x fewer gather rows: helmet 2.88
-        # -> 3.30 Mrays/s and courtyard 0.70 -> 0.89 with it OFF. The 4x
-        # bigger rows/table (32 B f16 quads vs 8 B texels) cost more HBM
-        # than the row-count savings buy back (docs/PERFORMANCE.md). Off by
-        # default; GLTF_TPU_QUAD=1 re-enables for experiments.
-        if os.environ.get("GLTF_TPU_QUAD", "0") == "1":
+        # Quad-packed bilinear neighborhoods (1 gather index per (slot, ray)
+        # instead of 4 — build_atlas_quad; bit-exact, same texels re-packed).
+        # Round 3 measured this a loss, but the round-4c re-measure in the
+        # post-profiler regime REVERSED it: helmet PT 4.16 -> 5.10 Mrays/s
+        # (gather cost is per-INDEX — tools/bench_gathermodel.py). Default
+        # ON; GLTF_TPU_QUAD=0 disables (4x atlas bytes).
+        if os.environ.get("GLTF_TPU_QUAD", "1") == "1":
             textures = build_atlas_quad(textures)
         # NPOT mip pyramid for the raster backend's trilinear sampling
         # (Forward.ps.hlsl derivative mips; the PT ignores it — SampleLevel-0
@@ -370,13 +403,16 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         if os.environ.get("GLTF_TPU_NOMIPS", "0") != "1":
             from gltf_renderer_tpu.ops.texture import build_atlas_mips
 
-            # GLTF_TPU_QUADMIPS=1 additionally bakes the 2x2 neighborhoods
-            # per mip texel: raster trilinear drops 8 -> 2 gather rows per
-            # (slot, pixel) at 4x the pyramid bytes. The PT's quad-atlas
-            # lesson (bigger table loses) may not transfer: raster texel
-            # access is screen-coherent, so the A/B is queued, not assumed.
+            # GLTF_TPU_QUADMIPS (default ON) additionally bakes the 2x2
+            # neighborhoods per mip texel: raster trilinear drops 8 -> 2
+            # gather indices per (slot, pixel) at 4x the pyramid bytes.
+            # Measured on-chip (round 4c): helmet raster 207.7 -> 172.2
+            # ms/frame — gather cost is per-INDEX, so unlike the PT's
+            # level-0 quad atlas (a measured loss), the raster-only mip
+            # quad is a pure win. The PT ignores mips (SampleLevel-0
+            # parity), so PT throughput is unaffected.
             textures = build_atlas_mips(
-                textures, quad=os.environ.get("GLTF_TPU_QUADMIPS", "0") == "1"
+                textures, quad=os.environ.get("GLTF_TPU_QUADMIPS", "1") == "1"
             )
     textures = jax.tree.map(jnp.asarray, textures)
     # Compact material rows to the scene's used slots, with each slot's
@@ -742,6 +778,8 @@ def _hit_base_alpha(scene: PTScene, meta: PTMeta, tri, u, v):
     base = get_base_color_row(
         mrow, scene.textures, uv0, uv1, col,
         used_slots=meta.used_slots, compact=True,
+        identity_uv=meta.identity_uv, wrap_modes=meta.wrap_modes,
+        any_nearest=meta.any_nearest,
     )
     return base[..., 3], mrow
 
@@ -1630,6 +1668,9 @@ def _trace_rays(
             shading_normal_adaptation=settings.shading_normal_adaptation,
             used_slots=meta.used_slots,
             rows_compact=True,
+            identity_uv=meta.identity_uv,
+            wrap_modes=meta.wrap_modes,
+            any_nearest=meta.any_nearest,
         )
 
         if bounce == 0 and settings.debug_output != S.DEBUG_NONE:

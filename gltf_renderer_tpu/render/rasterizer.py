@@ -178,6 +178,9 @@ def shade_forward(
         # reading them with full-row offsets mis-addressed every slot past
         # the first (fixed round 3 — was silently wrong on multi-slot scenes)
         mip_base=mip_base,
+        identity_uv=meta.identity_uv,
+        wrap_modes=meta.wrap_modes,
+        any_nearest=meta.any_nearest,
     )
 
     lighting = extras.emissive

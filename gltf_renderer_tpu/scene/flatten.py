@@ -108,10 +108,13 @@ TRI_HAS_COLOR = 8
 TRI_DOUBLE_SIDED = 16
 TRI_ALPHA_SHIFT = 5  # alpha_mode in bits 5-6
 
-# GLTF_TPU_BF16ROWS=auto threshold: bf16 hit-attribute rows kick in when the
-# f32 table would exceed ~32 MB (256 B/row). Measured crossover on v5e:
-# 274k-tri courtyard +20%, 48k-tri helmet -18% (CHIP_QUEUE_RESULTS round 4).
-_BF16ROWS_MIN_TRIS = 131072
+# GLTF_TPU_BF16ROWS=auto threshold. Round-4c re-measure REVERSED the early
+# round-4 "-18% on helmet" reading: after the profiler-driven gather fixes,
+# bf16 rows are +77% on the 48k-tri helmet (7.36 vs 4.16 Mrays/s) and +42%
+# at courtyard scale — the f32 table (12.5 MB helmet) thrashes whatever
+# cache level the bf16 one (6.2 MB) fits. Threshold keeps tiny test/golden
+# scenes (<32k tris) on exact f32 attribute interpolation.
+_BF16ROWS_MIN_TRIS = 32768
 
 
 class WorldGeometry(NamedTuple):

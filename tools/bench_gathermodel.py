@@ -115,6 +115,41 @@ def main():
 
         timed(make, f"1 gather x 64 {lbl} rows ({bpl} B/lane)", bpl)
 
+    # f16 narrow rows vs the same bytes as f32 pairs (bitcast): the PT atlas
+    # gather profiled "VMEM Write bound, 4.2 GiB/s" on (N, 4) f16 rows.
+    t16 = jnp.asarray(rng.rand(T, 4).astype(np.float16))
+    t32 = jax.lax.bitcast_convert_type(t16.reshape(T, 2, 2), jnp.float32)
+
+    def make_f16():
+        return lambda j: t16[j].astype(jnp.float32).sum()
+
+    timed(make_f16, "1 gather x 4 f16 rows (8 B/lane)", 8)
+
+    def make_f32pair():
+        def body(j):
+            g = t32[j]
+            return jax.lax.bitcast_convert_type(
+                g.reshape(g.shape[0], 2, 1), jnp.float16
+            ).reshape(-1, 4).astype(jnp.float32).sum()
+
+        return body
+
+    timed(make_f32pair, "same as f32-pair rows + bitcast", 8)
+
+    # Does XLA fold a slice back INTO the gather (re-creating the 1-wide
+    # scalarizing gather)? row[idx][:, 2] vs row[idx, 2].
+    t10 = jnp.asarray(rng.rand(T, 10).astype(np.float32))
+
+    def make_col():
+        return lambda j: t10[j, 2].sum()
+
+    timed(make_col, "1-wide column gather rows[idx, 2]", 4)
+
+    def make_row_then_slice():
+        return lambda j: t10[j][:, 2].sum()
+
+    timed(make_row_then_slice, "row gather then slice [idx][:, 2]", 4)
+
     # Elementwise floor: a 12-wide fma chain, no gather.
     dense = jnp.asarray(rng.rand(R, 12).astype(np.float32))
 
