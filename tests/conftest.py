@@ -27,9 +27,25 @@ enable_compilation_cache(
 )
 
 
+# Fast high-signal tier: `pytest -m smoke` finishes in well under 90 s and
+# covers the core math/RNG/BSDF/BVH/loader/light invariants — the gate to run
+# per-iteration; the full suite (~10 min) stays the pre-commit/nightly bar.
+SMOKE_MODULES = {
+    "test_math", "test_rng", "test_bvh", "test_loader", "test_lights",
+    "test_bsdf", "test_perf_structures",
+}
+
+
 def pytest_collection_modifyitems(session, config, items):
     """Run test_ssim_baseline FIRST (its graphs are the biggest compiles —
-    see the XLA:CPU crash note on _clear_jax_caches_per_module)."""
+    see the XLA:CPU crash note on _clear_jax_caches_per_module); auto-mark
+    the smoke tier by module so the fast gate needs no per-test edits."""
+    import pytest as _pytest
+
+    for it in items:
+        mod = it.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if mod in SMOKE_MODULES:
+            it.add_marker(_pytest.mark.smoke)
     front = [it for it in items if "test_ssim_baseline" in it.nodeid]
     rest = [it for it in items if "test_ssim_baseline" not in it.nodeid]
     items[:] = front + rest

@@ -5,8 +5,9 @@ ranked HLO breakdown (the round-4c workflow, one command).
     python tools/profile_capture.py [pt|raster] [--by-line]
 
 Env: BENCH_SCENE / BENCH_SPP as for bench.py. Writes the raw trace to
-/tmp/jtrace_<mode> and prints both the per-op and per-source-line rankings
-via tools/profile_hlo.py helpers.
+/tmp/jtrace_<mode>; prints the per-op AND per-source-line rankings by
+default, only the by-line aggregation with --by-line (shared formatting
+lives in tools/profile_hlo.print_rankings).
 """
 
 import os
@@ -22,6 +23,7 @@ def main():
     for a in sys.argv[1:]:
         if a in ("pt", "raster"):
             mode = a
+    by_line = True if "--by-line" in sys.argv else None
     import jax
     import jax.numpy as jnp
 
@@ -63,47 +65,18 @@ def main():
         t0 = time.time()
         jax.block_until_ready(frame(0))
         print(f"[profile] warm frame in {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
         with jax.profiler.trace(trace_dir):
             outs = [frame(2), frame(3)]
             jax.block_until_ready(outs)
         n_frames = 2
+        print(f"[profile] traced {n_frames} frames in {time.time() - t0:.1f}s",
+              file=sys.stderr)
 
-    from tools.profile_hlo import load_hlo_stats
-    import json
-    import re
+    from tools.profile_hlo import load_hlo_stats, print_rankings
 
-    d = load_hlo_stats(trace_dir)
-    cols = [c["label"] for c in d["cols"]]
-    I = {c: i for i, c in enumerate(cols)}
-    rows = d["rows"]
-
-    def v(r, c):
-        return r["c"][I[c]].get("v")
-
-    def src(r):
-        raw = re.sub(r"<[^>]*>", "", str(v(r, "Source Info") or "")).strip()
-        return raw.split("/")[-1] if raw else "?"
-
-    total = sum(v(r, "Total self time (us)") for r in rows)
-    print(f"total device time: {total / 1e3:.1f} ms over {n_frames} frames "
-          f"= {total / 1e3 / n_frames:.1f} ms/frame")
-    print("--- top 30 ops ---")
-    for r in rows[:30]:
-        print(f"{v(r, 'Total self time (us)') / 1e3:8.2f}ms "
-              f"{v(r, 'Total self time (%)'):5.1f}% "
-              f"x{int(v(r, '#Occurrences')):4d} "
-              f"{v(r, 'HLO op category'):18s} "
-              f"{(v(r, 'Bound by') or ''):8s}"
-              f"{v(r, 'Measured memory BW (GiB/s)'):8.1f}GB/s  "
-              f"{src(r)[:40]:40s} "
-              f"{(v(r, 'Framework op name') or '')[:44]}")
-    print("--- by source line ---")
-    from collections import defaultdict
-    agg = defaultdict(float)
-    for r in rows:
-        agg[(src(r), v(r, "HLO op category"))] += v(r, "Total self time (us)")
-    for (loc, cat), us in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{us / 1e3:9.2f}ms {100 * us / total:5.1f}%  {cat:18s} {loc}")
+    print_rankings(load_hlo_stats(trace_dir), top_n=30, by_line=by_line,
+                   n_frames=n_frames)
 
 
 if __name__ == "__main__":

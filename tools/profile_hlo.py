@@ -36,13 +36,14 @@ def load_hlo_stats(trace_dir):
     return json.loads(data)
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    trace_dir = args[0] if args else "/tmp/jtrace"
-    top_n = int(args[1]) if len(args) > 1 else 25
-    by_line = "--by-line" in sys.argv
+def print_rankings(d, top_n=25, by_line=None, n_frames=None):
+    """Print the per-op and/or per-source-line self-time rankings.
 
-    d = load_hlo_stats(trace_dir)
+    by_line: None prints both tables; True only the by-line aggregation;
+    False only the per-op table. Shared by profile_hlo.py (CLI) and
+    profile_capture.py so format fixes land in one place. Numeric columns
+    are coerced via f() (xprof yields None for rows it has no value for).
+    """
     cols = [c["label"] for c in d["cols"]]
     I = {c: i for i, c in enumerate(cols)}
     rows = d["rows"]
@@ -50,36 +51,49 @@ def main():
     def v(r, c):
         return r["c"][I[c]].get("v")
 
+    def f(r, c):
+        return float(v(r, c) or 0.0)
+
     def src(r):
         raw = re.sub(r"<[^>]*>", "", str(v(r, "Source Info") or "")).strip()
         return raw.split("/")[-1] if raw else "?"
 
-    total = sum(v(r, "Total self time (us)") for r in rows)
+    total = sum(f(r, "Total self time (us)") for r in rows) or 1.0
+    per_frame = f" = {total / 1e3 / n_frames:.1f} ms/frame" if n_frames else ""
     print(f"total device time: {total / 1e3:.1f} ms "
-          f"({len(rows)} HLO rows; divide by #traced frames yourself)")
+          f"({len(rows)} HLO rows){per_frame}")
 
-    if by_line:
+    if by_line is not True:
+        print(f"--- top {top_n} ops ---")
+        for r in rows[:top_n]:
+            print(
+                f"{f(r, 'Total self time (us)') / 1e3:8.2f}ms "
+                f"{f(r, 'Total self time (%)'):5.1f}% "
+                f"x{int(f(r, '#Occurrences')):4d} "
+                f"{(v(r, 'HLO op category') or ''):18s} "
+                f"{(v(r, 'Bound by') or ''):8s}"
+                f"{f(r, 'Measured memory BW (GiB/s)'):8.1f}GB/s  "
+                f"{src(r)[:44]:44s} "
+                f"{(v(r, 'Framework op name') or '')[:48]}"
+            )
+    if by_line is not False:
         from collections import defaultdict
 
+        print(f"--- top {top_n} by source line ---")
         agg = defaultdict(float)
         for r in rows:
-            agg[(src(r), v(r, "HLO op category"))] += v(r, "Total self time (us)")
+            agg[(src(r), v(r, "HLO op category"))] += f(r, "Total self time (us)")
         ranked = sorted(agg.items(), key=lambda kv: -kv[1])[:top_n]
         for (loc, cat), us in ranked:
             print(f"{us / 1e3:9.2f}ms {100 * us / total:5.1f}%  {cat:18s} {loc}")
-        return
 
-    for r in rows[:top_n]:
-        print(
-            f"{v(r, 'Total self time (us)') / 1e3:8.2f}ms "
-            f"{v(r, 'Total self time (%)'):5.1f}% "
-            f"x{int(v(r, '#Occurrences')):4d} "
-            f"{v(r, 'HLO op category'):18s} "
-            f"{(v(r, 'Bound by') or ''):8s}"
-            f"{v(r, 'Measured memory BW (GiB/s)'):8.1f}GB/s  "
-            f"{src(r)[:44]:44s} "
-            f"{(v(r, 'Framework op name') or '')[:48]}"
-        )
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    trace_dir = args[0] if args else "/tmp/jtrace"
+    top_n = int(args[1]) if len(args) > 1 else 25
+    by_line = True if "--by-line" in sys.argv else False
+    print_rankings(load_hlo_stats(trace_dir), top_n=top_n, by_line=by_line)
 
 
 if __name__ == "__main__":
