@@ -171,6 +171,39 @@ def fidelity_ssim(probe):
     return round(ssim(probe, golden, data_range=rng_), 5)
 
 
+def measure_raster_fps(ptscene, meta, params, c2w, resolution, frames=6):
+    """Full raster frame rate: draw_scene (raycast visibility + forward
+    shading) + bloom + AgX tonemap at the bench resolution, timed pipelined
+    over `frames` warm frames (one warm-up frame discarded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gltf_renderer_tpu.render import settings as S
+    from gltf_renderer_tpu.render.renderer import _post_step, _raster_step
+
+    w, h = resolution
+    rs = S.RenderSettings(backend="rasterizer", width=w, height=h)
+    cam_pos = jnp.asarray([1.1, -1.1, 0.6])  # the bench helmet camera eye
+
+    def frame(seed):
+        hdr = _raster_step(ptscene, meta, rs, params, c2w, cam_pos,
+                           resolution, jnp.uint32(seed), "raycast")
+        return _post_step(hdr, rs.tonemap, rs.bloom, jnp.uint32(seed))
+
+    t0 = time.time()
+    jax.block_until_ready(frame(0))
+    print(f"[bench] raster warm/compile {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    jax.block_until_ready(frame(1))
+    t0 = time.time()
+    outs = [frame(2 + i) for i in range(frames)]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / frames
+    print(f"[bench] raster {dt * 1e3:.1f} ms/frame = {1.0 / dt:.2f} FPS",
+          file=sys.stderr, flush=True)
+    return round(1.0 / dt, 3)
+
+
 def _tunnel_alive() -> bool:
     """Under the axon tunnel, device init HANGS forever if the local relay
     is down (observed round 3: the relay process died mid-round and
@@ -245,7 +278,7 @@ def main():
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    steps = int(os.environ.get("BENCH_STEPS", 4))
+    steps = int(os.environ.get("BENCH_STEPS", 8))
     # Samples per pixel traced INSIDE each dispatch (pixel slice shrinks to
     # keep ray count per dispatch constant). Default 4: the fixed-cost
     # amortization measured +9% helmet (3.30->3.598) and +19% courtyard
@@ -263,13 +296,22 @@ def main():
             spp=spp,
         )
 
-    # Warmup / compile.
+    # Warmup / compile, then ONE discarded timed step: the first post-compile
+    # dispatch through the tunnel carries residual transfer/cache effects
+    # (round-4 reconciliation: the ledger's 9.87 vs the driver's 6.73 on the
+    # same config was dominated by cold-start inside the timed window).
     img, stats0 = trace_j(ptscene, c2w, jnp.uint32(0))
     jax.block_until_ready((img, stats0))
     setup_s = time.time() - t_setup
     print(f"[bench] warmup done, compile {setup_s - scene_s:.1f}s",
           file=sys.stderr, flush=True)
+    t_w = time.time()
+    jax.block_until_ready(trace_j(ptscene, c2w, jnp.uint32(999)))
+    print(f"[bench] warm step (discarded): {time.time() - t_w:.2f}s",
+          file=sys.stderr, flush=True)
 
+    # Headline: pipelined (enqueue all steps, block once) — host-side chunk
+    # loops pipeline on the tunnel, so this is the deployment-shaped number.
     t0 = time.time()
     total_rays = 0.0
     acc = None
@@ -282,6 +324,14 @@ def main():
     jax.block_until_ready(acc)
     elapsed = time.time() - t0
 
+    # Per-step diagnostics (blocked; ~28 ms RPC overhead each): exposes
+    # outlier steps so a variance-dominated run is visible in the artifact.
+    step_s = []
+    for i in range(steps):
+        t1 = time.time()
+        jax.block_until_ready(trace_j(ptscene, c2w, jnp.uint32(i + 1)))
+        step_s.append(round(time.time() - t1, 3))
+
     mrays = total_rays / elapsed / 1e6
     scene_kind = os.environ.get("BENCH_SCENE", "helmet")
 
@@ -292,6 +342,16 @@ def main():
             ssim_score = fidelity_ssim(probe)
         except Exception as e:  # fidelity probe must never sink the bench
             print(f"[bench] fidelity probe failed: {e}", file=sys.stderr)
+
+    # Raster backend FPS (BASELINE.json's raster axis: helmet, IBL + bloom +
+    # AgX full frame, Rasterizer.cpp:150-288 pass chain).
+    raster_fps = None
+    if scene_kind == "helmet" and os.environ.get("BENCH_RASTER", "1") != "0":
+        try:
+            raster_fps = measure_raster_fps(
+                ptscene, meta, params, c2w, (width, height))
+        except Exception as e:  # raster probe must never sink the PT metric
+            print(f"[bench] raster probe failed: {e}", file=sys.stderr)
     metric = ("pt_mrays_per_s_per_chip_1080p" if scene_kind == "helmet"
               else f"pt_mrays_per_s_{scene_kind}_1080p")
     result = {
@@ -316,6 +376,11 @@ def main():
                     "mean_radiance": float(np.asarray(acc).mean() / steps),
                     "nan_pixels": nan_count,
                     "ssim_vs_cpu_8spp": ssim_score,
+                    "raster_fps": raster_fps,
+                    "step_s": step_s,
+                    "mrays_median_step": round(
+                        (total_rays / steps) / sorted(step_s)[steps // 2] / 1e6,
+                        3) if step_s else None,
                 }
             }
         ),

@@ -32,7 +32,7 @@ enable_compilation_cache(
 # per-iteration; the full suite (~10 min) stays the pre-commit/nightly bar.
 SMOKE_MODULES = {
     "test_math", "test_rng", "test_bvh", "test_loader", "test_lights",
-    "test_bsdf", "test_perf_structures",
+    "test_bsdf", "test_perf_structures", "test_scene_cache",
 }
 
 
