@@ -254,15 +254,80 @@ def _read_exr_header(data, pos):
         pos += size
 
 
+def _decompress_block(data, comp, channels_sorted, width, n_lines, raw, size):
+    """One scanline block / tile payload -> raw interleaved channel lines."""
+    bytes_per_px = {0: 4, 1: 2, 2: 4}
+    line_bytes = sum(bytes_per_px[t] * width for _, t in channels_sorted)
+    expect = line_bytes * n_lines
+    if size >= expect and comp != 0:
+        pass  # stored uncompressed (compression didn't help)
+    elif comp == 1:
+        raw = _zip_reconstruct(_rle_uncompress(raw, expect))
+    elif comp in (2, 3):
+        raw = _zip_reconstruct(zlib.decompress(raw))
+    elif comp == 4:
+        from gltf_renderer_tpu.env.piz import piz_uncompress
+
+        raw = piz_uncompress(raw, list(channels_sorted), width, n_lines)
+    elif comp == 5:
+        raw = _pxr24_uncompress(raw, channels_sorted, width, n_lines)
+    if len(raw) != expect:
+        raise ValueError("EXR block size mismatch")
+    return raw
+
+
+def _num_tiles(size: int, level: int, tile: int, round_up: bool) -> int:
+    """Tile count along one axis at a mip/rip level (OpenEXR tiledesc)."""
+    d = 1 << level
+    lv = max(1, (size + d - 1) // d if round_up else size // d)
+    return -(-lv // tile)
+
+
+def _tile_offset_count(width, height, tx, ty, mode, round_up) -> int:
+    """Total chunk-offset count for ONE_LEVEL / MIPMAP / RIPMAP tilings."""
+    if mode == 0:  # ONE_LEVEL
+        return _num_tiles(width, 0, tx, round_up) * _num_tiles(height, 0, ty, round_up)
+    n_lx = max(width - 1, 1).bit_length() if width > 1 else 1
+    n_ly = max(height - 1, 1).bit_length() if height > 1 else 1
+    # number of levels: floor/ceil(log2(max dim)) + 1
+    def n_levels(s):
+        n, lv = 1, s
+        while lv > 1:
+            lv = (lv + 1) // 2 if round_up else lv // 2
+            n += 1
+        return n
+    if mode == 1:  # MIPMAP: square level pairs over max(w, h)
+        levels = max(n_levels(width), n_levels(height))
+        return sum(
+            _num_tiles(width, l, tx, round_up) * _num_tiles(height, l, ty, round_up)
+            for l in range(levels)
+        )
+    if mode == 2:  # RIPMAP: all (lx, ly) combinations
+        return sum(
+            _num_tiles(width, lx, tx, round_up) * _num_tiles(height, ly, ty, round_up)
+            for lx in range(n_levels(width))
+            for ly in range(n_levels(height))
+        )
+    raise ValueError(f"EXR tile level mode {mode} not supported")
+
+
 def read_exr(path: str) -> np.ndarray:
-    """Returns (H, W, C<=4) float32 (channels in R, G, B, A order if named so)."""
+    """Returns (H, W, C<=4) float32 (channels in R, G, B, A order if named so).
+
+    Scanline AND tiled single-part files (the reference's tinyexr loads
+    tiled single-part EXRs, EnvironmentMap.cpp:148-251 — real 4k HDRIs from
+    the wild are often tiled): for tiled files the level-0 tiles are
+    decoded; mip/rip levels beyond 0 are skipped (the env pipeline builds
+    its own pyramids). Multi-part and deep files are rejected.
+    """
     with open(path, "rb") as f:
         data = f.read()
     magic, version = struct.unpack_from("<iI", data, 0)
     if magic != 20000630:
         raise ValueError("not an EXR file")
-    if version & 0x200:
-        raise ValueError("tiled EXR not supported")
+    if version & 0x1000 or version & 0x800:
+        raise ValueError("multi-part / deep EXR not supported")
+    tiled = bool(version & 0x200)
     attrs, pos = _read_exr_header(data, 8)
 
     # Channels.
@@ -289,40 +354,46 @@ def read_exr(path: str) -> np.ndarray:
     width = xmax - xmin + 1
     height = ymax - ymin + 1
 
-    n_blocks = -(-height // lines_per_block)
-    offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
-
     out = {name: np.zeros((height, width), np.float32) for name, _ in channels}
     bytes_per_px = {0: 4, 1: 2, 2: 4}
-    line_bytes = sum(bytes_per_px[t] * width for _, t in channels)
 
-    for off in offsets:
-        y, size = struct.unpack_from("<ii", data, off)
-        raw = data[off + 8 : off + 8 + size]
-        n_lines = min(lines_per_block, ymax - y + 1)
-        expect = line_bytes * n_lines
-        if size >= expect and comp != 0:
-            pass  # stored uncompressed (compression didn't help)
-        elif comp == 1:
-            raw = _zip_reconstruct(_rle_uncompress(raw, expect))
-        elif comp in (2, 3):
-            raw = _zip_reconstruct(zlib.decompress(raw))
-        elif comp == 4:
-            from gltf_renderer_tpu.env.piz import piz_uncompress
-
-            chan_types = [(n_, t_) for n_, t_ in channels_sorted]
-            raw = piz_uncompress(raw, chan_types, width, n_lines)
-        elif comp == 5:
-            raw = _pxr24_uncompress(raw, channels_sorted, width, n_lines)
-        if len(raw) != expect:
-            raise ValueError("EXR block size mismatch")
+    def store_lines(raw, x0, y0, w_run, n_lines):
         bpos = 0
         for li in range(n_lines):
             for cname, ctype in channels_sorted:
-                nb = bytes_per_px[ctype] * width
-                line = np.frombuffer(raw, _PIXEL_DTYPE[ctype], count=width, offset=bpos)
-                out[cname][y - ymin + li] = line.astype(np.float32)
-                bpos += nb
+                line = np.frombuffer(raw, _PIXEL_DTYPE[ctype], count=w_run,
+                                     offset=bpos)
+                out[cname][y0 + li, x0 : x0 + w_run] = line.astype(np.float32)
+                bpos += bytes_per_px[ctype] * w_run
+
+    if tiled:
+        # tiledesc: xSize, ySize (u32), mode byte = levelMode | rounding<<4.
+        tx, ty, mode_b = struct.unpack_from("<IIB", attrs["tiles"][1], 0)
+        mode, round_up = mode_b & 0xF, bool(mode_b >> 4)
+        n_off = _tile_offset_count(width, height, tx, ty, mode, round_up)
+        offsets = struct.unpack_from(f"<{n_off}Q", data, pos)
+        for off in offsets:
+            # Tile chunks are self-describing: dx, dy, levelx, levely, size.
+            dx, dy, lx, ly, size = struct.unpack_from("<iiiii", data, off)
+            if lx != 0 or ly != 0:
+                continue  # mip/rip levels beyond 0: env builds its own
+            raw = data[off + 20 : off + 20 + size]
+            x0, y0 = dx * tx, dy * ty
+            w_run = min(tx, width - x0)
+            n_lines = min(ty, height - y0)
+            raw = _decompress_block(data, comp, channels_sorted, w_run,
+                                    n_lines, raw, size)
+            store_lines(raw, x0, y0, w_run, n_lines)
+    else:
+        n_blocks = -(-height // lines_per_block)
+        offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
+        for off in offsets:
+            y, size = struct.unpack_from("<ii", data, off)
+            raw = data[off + 8 : off + 8 + size]
+            n_lines = min(lines_per_block, ymax - y + 1)
+            raw = _decompress_block(data, comp, channels_sorted, width,
+                                    n_lines, raw, size)
+            store_lines(raw, 0, y - ymin, width, n_lines)
 
     order = [c for c in ("R", "G", "B", "A") if c in out]
     if not order:
@@ -330,10 +401,11 @@ def read_exr(path: str) -> np.ndarray:
     return np.stack([out[c] for c in order], -1)
 
 
-def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = False):
-    """Scanline EXR writer for tests/tools. compression: 0=none, 1=rle,
-    2=zips, 3=zip, 4=piz, 5=pxr24 (floats truncated to 24 bits, halves
-    lossless)."""
+def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = False,
+              tile: "tuple[int, int] | None" = None):
+    """Scanline (or, with tile=(tx, ty), ONE_LEVEL-tiled) EXR writer for
+    tests/tools. compression: 0=none, 1=rle, 2=zips, 3=zip, 4=piz, 5=pxr24
+    (floats truncated to 24 bits, halves lossless)."""
     if compression not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"write_exr: unsupported compression {compression}")
     image = np.asarray(image, np.float16 if half else np.float32)
@@ -361,21 +433,16 @@ def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = F
     header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
     header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    if tile is not None:
+        header += attr("tiles", "tiledesc",
+                       struct.pack("<IIB", tile[0], tile[1], 0))
     header += b"\x00"
 
     img = image.reshape(h, w, c)
     name_to_idx = {n: i for i, n in enumerate(names)}
     channels_sorted = [(n, ctype) for n in chans]
-    n_blocks = -(-h // lines_per_block)
-    blocks = []
-    for bi in range(n_blocks):
-        y0 = bi * lines_per_block
-        n_lines = min(lines_per_block, h - y0)
-        raw = b"".join(
-            img[y0 + li, :, name_to_idx[n]].tobytes()
-            for li in range(n_lines)
-            for n in chans
-        )
+
+    def encode(raw, w_run, n_lines):
         if compression == 1:
             enc = _rle_compress(_zip_forward(raw))
         elif compression in (2, 3):
@@ -383,25 +450,52 @@ def write_exr(path: str, image: np.ndarray, compression: int = 0, half: bool = F
         elif compression == 4:
             from gltf_renderer_tpu.env.piz import piz_compress
 
-            enc = piz_compress(raw, channels_sorted, w, n_lines)
+            enc = piz_compress(raw, channels_sorted, w_run, n_lines)
         elif compression == 5:
-            enc = _pxr24_compress(raw, channels_sorted, w, n_lines)
+            enc = _pxr24_compress(raw, channels_sorted, w_run, n_lines)
         else:
             enc = raw
-        blocks.append((y0, enc if len(enc) < len(raw) else raw))
+        return enc if len(enc) < len(raw) else raw
 
+    blocks = []  # (chunk header bytes sans size, payload)
+    if tile is not None:
+        tx, ty = tile
+        for dy in range(-(-h // ty)):
+            for dx in range(-(-w // tx)):
+                x0, y0 = dx * tx, dy * ty
+                w_run, n_lines = min(tx, w - x0), min(ty, h - y0)
+                raw = b"".join(
+                    img[y0 + li, x0 : x0 + w_run, name_to_idx[n]].tobytes()
+                    for li in range(n_lines)
+                    for n in chans
+                )
+                blocks.append((struct.pack("<iiii", dx, dy, 0, 0),
+                               encode(raw, w_run, n_lines)))
+    else:
+        for bi in range(-(-h // lines_per_block)):
+            y0 = bi * lines_per_block
+            n_lines = min(lines_per_block, h - y0)
+            raw = b"".join(
+                img[y0 + li, :, name_to_idx[n]].tobytes()
+                for li in range(n_lines)
+                for n in chans
+            )
+            blocks.append((struct.pack("<i", y0), encode(raw, w, n_lines)))
+
+    n_blocks = len(blocks)
     table_pos = 8 + len(header)
     data_pos = table_pos + 8 * n_blocks
     offsets = []
-    for _y0, payload in blocks:
+    for hdr_bytes, payload in blocks:
         offsets.append(data_pos)
-        data_pos += 8 + len(payload)
+        data_pos += len(hdr_bytes) + 4 + len(payload)
+    version = 2 | (0x200 if tile is not None else 0)
     with open(path, "wb") as f:
-        f.write(struct.pack("<iI", 20000630, 2))
+        f.write(struct.pack("<iI", 20000630, version))
         f.write(header)
         f.write(struct.pack(f"<{n_blocks}Q", *offsets))
-        for y0, payload in blocks:
-            f.write(struct.pack("<ii", y0, len(payload)))
+        for hdr_bytes, payload in blocks:
+            f.write(hdr_bytes + struct.pack("<i", len(payload)))
             f.write(payload)
 
 

@@ -54,6 +54,56 @@ def test_exr_compressed_roundtrip_lossless(tmp_path, comp):
     np.testing.assert_array_equal(hdr_io.read_exr(pc), hdr_io.read_exr(p0))
 
 
+@pytest.mark.parametrize("comp", [0, 2, 3, 4, 5])
+def test_exr_tiled_roundtrip(tmp_path, comp):
+    """ONE_LEVEL tiled single-part decode matches the scanline encoding of
+    the same pixels — the reference's tinyexr loads tiled files
+    (EnvironmentMap.cpp:148-251); real 4k HDRIs from the wild are often
+    tiled. 37x53 with 16x16 tiles exercises partial edge tiles."""
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(37, 53, 3)).astype(np.float16).astype(np.float32)
+    ps = str(tmp_path / "scan.exr")
+    pt = str(tmp_path / "tile.exr")
+    hdr_io.write_exr(ps, img, compression=0, half=True)
+    hdr_io.write_exr(pt, img, compression=comp, half=True, tile=(16, 16))
+    np.testing.assert_array_equal(hdr_io.read_exr(pt), hdr_io.read_exr(ps))
+
+
+def test_exr_tiled_float_piz_roundtrip(tmp_path):
+    """Full-float PIZ tiles (hi/lo half split) survive the tile layout."""
+    rng = np.random.default_rng(11)
+    img = (rng.normal(size=(40, 40, 3)) * 10).astype(np.float32)
+    pt = str(tmp_path / "tile.exr")
+    hdr_io.write_exr(pt, img, compression=4, tile=(32, 32))
+    np.testing.assert_array_equal(hdr_io.read_exr(pt), img)
+
+
+def test_exr_tile_offset_counts():
+    """Mip/rip chunk-count bookkeeping (needed to locate the tile chunks
+    after the offset table) matches the OpenEXR level formulas."""
+    # ONE_LEVEL: ceil(W/tx) * ceil(H/ty)
+    assert hdr_io._tile_offset_count(100, 60, 32, 32, 0, False) == 4 * 2
+    # MIPMAP round-down on a 4x4 image with 2x2 tiles:
+    # level0 4x4 -> 2x2 tiles, level1 2x2 -> 1 tile, level2 1x1 -> 1 tile
+    assert hdr_io._tile_offset_count(4, 4, 2, 2, 1, False) == 4 + 1 + 1
+    # MIPMAP round-up on 5x3, 2x2 tiles: levels 5x3, 3x2, 2x1, 1x1
+    # -> ceil counts (3*2) + (2*1) + (1*1) + (1*1)
+    assert hdr_io._tile_offset_count(5, 3, 2, 2, 1, True) == 6 + 2 + 1 + 1
+    # RIPMAP round-down 4x4, 2x2 tiles: (2x2, 1x1 levels each axis)^2
+    # lx,ly in {0,1,2}: sizes 4,2,1 -> tiles 2,1,1 per axis -> (2+1+1)^2
+    assert hdr_io._tile_offset_count(4, 4, 2, 2, 2, False) == 16
+
+
+def test_exr_multipart_rejected(tmp_path):
+    import struct
+
+    p = str(tmp_path / "mp.exr")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<iI", 20000630, 2 | 0x1000))
+    with pytest.raises(ValueError, match="multi-part"):
+        hdr_io.read_exr(p)
+
+
 def test_exr_rle_constant_rows_compress(tmp_path):
     """A constant image actually exercises the run path of the RLE codec
     (file materially smaller than raw) and still decodes exactly."""
