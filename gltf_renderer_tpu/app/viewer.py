@@ -51,7 +51,7 @@ _PAGE = """<!doctype html>
  #panel input[type=number] { width:70px; }
  img { display:block; margin:auto; image-rendering:pixelated; }
 </style></head><body>
-<div id="hud">drag: orbit &middot; wheel: dolly &middot; shift-drag: pan
+<div id="hud">drag: orbit/look &middot; wheel: dolly/speed &middot; shift-drag: pan &middot; fly: WASD+QE
  &middot; <span id="stat"></span></div>
 <details id="panel"><summary>Graphics</summary>
 <div><label>Renderer <select id="backend">
@@ -76,6 +76,9 @@ _PAGE = """<!doctype html>
 <label>Time <input type="range" id="anim_time" min="0" max="10" step="0.05"
   style="width:140px"></label>
 <label>Camera <select id="camsel"><option value="">Free orbit</option></select></label>
+<label>Controller <select id="ctlsel">
+  <option value="orbit">Orbit</option>
+  <option value="free">Fly (WASD+QE)</option></select></label>
 </div></details>
 <img id="v" draggable="false">
 <script>
@@ -135,6 +138,23 @@ document.getElementById('anim_time').oninput = e => fetch('/input',
 document.getElementById('camsel').onchange = e => fetch('/input',
   {method:'POST', body: JSON.stringify({type:'camera',
    index: e.target.value === '' ? null : parseInt(e.target.value)})});
+let camMode = 'orbit';
+document.getElementById('ctlsel').onchange = e => {
+  camMode = e.target.value;
+  fetch('/input', {method:'POST', body: JSON.stringify(
+    {type:'mode', value: camMode})});
+};
+// Fly-cam movement: keydown auto-repeat drives WASD+QE ticks, shift boosts
+// (reference Tick, CameraController.h:202-227).
+const held = new Set();
+window.addEventListener('keydown', e => {
+  const k = e.key.toLowerCase();
+  if (!'wasdqe'.includes(k) || camMode !== 'free') return;
+  held.add(k);
+  fetch('/input', {method:'POST', body: JSON.stringify(
+    {type:'key', keys: Array.from(held), shift: e.shiftKey, dt: 0.05})});
+});
+window.addEventListener('keyup', e => { held.delete(e.key.toLowerCase()); });
 let uiInit = false;
 function syncUi(s) {
   if (uiInit) return;
@@ -214,8 +234,12 @@ class ViewerState:
     """Shared state between the HTTP threads and the render thread."""
 
     def __init__(self, renderer, orbit, width, height):
+        from gltf_renderer_tpu.camera import FreeController
+
         self.renderer = renderer
         self.orbit = orbit
+        self.free = FreeController()     # WASD+QE fly-cam (reference
+        self.cam_mode = "orbit"          # CameraController.h:124-243)
         self.width = width
         self.height = height
         self.lock = threading.Lock()
@@ -330,19 +354,60 @@ def _apply_inputs(state: ViewerState, evs) -> bool:
     exponential dolly, pan in view plane. Returns True if the camera moved."""
     moved = False
     orbit = state.orbit
+    free = state.free
     for ev in evs:
         t = ev.get("type")
         if t == "orbit":
-            orbit.rotate(float(ev.get("dx", 0)) * 0.005,
-                         float(ev.get("dy", 0)) * 0.005)
+            if state.cam_mode == "free":
+                # Fly-cam look: negative sensitivity per pixel
+                # (CameraController.h:193-196, rotation_sensitivity 0.001).
+                free.rotate(-0.001 * float(ev.get("dx", 0)),
+                            -0.001 * float(ev.get("dy", 0)))
+            else:
+                orbit.rotate(float(ev.get("dx", 0)) * 0.005,
+                             float(ev.get("dy", 0)) * 0.005)
             moved = True
         elif t == "dolly":
-            orbit.zoom(0.001 * float(ev.get("amount", 0)) * max(orbit.radius, 1e-3))
+            if state.cam_mode == "free":
+                # Wheel adjusts fly speed, not position (:180-182): 0.3 per
+                # notch; browser deltaY is ~120/notch and inverted.
+                free.increase_speed(-0.3 * float(ev.get("amount", 0)) / 120.0)
+            else:
+                orbit.zoom(0.001 * float(ev.get("amount", 0)) * max(orbit.radius, 1e-3))
             moved = True
         elif t == "pan":
             orbit.pan(float(ev.get("dx", 0)) * 0.002,
                       float(ev.get("dy", 0)) * 0.002)
             moved = True
+        elif t == "key":
+            # WASD+QE fly movement with LSHIFT boost (Tick, :202-227).
+            if state.cam_mode == "free":
+                keys = {str(k).lower() for k in ev.get("keys", [])}
+                free.move(
+                    forward=("w" in keys) - ("s" in keys),
+                    right=("d" in keys) - ("a" in keys),
+                    up=("e" in keys) - ("q" in keys),
+                    dt=float(ev.get("dt", 1 / 60)),
+                    fast=bool(ev.get("shift", False)),
+                )
+                moved = True
+        elif t == "mode":
+            want = str(ev.get("value", "orbit"))
+            if want != state.cam_mode and want in ("orbit", "free"):
+                if want == "free":
+                    # Seed the fly-cam at the orbit eye so the toggle is
+                    # seamless: same rotation composition, eye = the point
+                    # the orbit view maps to the view-space origin.
+                    import numpy as _np
+
+                    eye = _np.linalg.inv(orbit.world_to_view()) @ _np.array(
+                        [0.0, 0.0, 0.0, 1.0], _np.float32)
+                    free.position = eye[:3].astype(_np.float32)
+                    free.azimuth = orbit.azimuth
+                    free.inclination = float(_np.clip(
+                        orbit.inclination, -_np.pi / 2, _np.pi / 2))
+                state.cam_mode = want
+                moved = True
         elif t == "backend":
             import dataclasses
             st = state.renderer.settings
@@ -403,7 +468,8 @@ def _apply_inputs(state: ViewerState, evs) -> bool:
             except Exception as e:  # drag-drop of a bad file must not kill the loop
                 logging.error("load failed: %s", e)
     if moved:
-        state.renderer.camera.world_to_view = orbit.world_to_view()
+        active = free if state.cam_mode == "free" else orbit
+        state.renderer.camera.world_to_view = active.world_to_view()
     return moved
 
 
@@ -481,6 +547,7 @@ def make_handler(state: ViewerState):
                     "scenes": len(scn.scenes) if scn else 0,
                     "scene_id": getattr(r, "scene_id", 0),
                     "cameras": len(scn.cameras) if scn else 0,
+                    "cam_mode": state.cam_mode,
                     "animation_playing": bool(r.player.playing),
                     "animation_time": float(r.player.time),
                     # Always-on counter plots (Tracy analogue): last frames'

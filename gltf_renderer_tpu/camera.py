@@ -140,19 +140,33 @@ class FreeController:
     position: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
     azimuth: float = 0.0
     inclination: float = 0.0
-    speed: float = 1.0
+    speed: float = 1.0           # movement_speed (CameraController.h:243)
+    fast_factor: float = 2.0     # LSHIFT boost (fast_movement_factor, :244)
 
     def rotate(self, azimuth: float, inclination: float):
         self.azimuth += azimuth
         self.inclination = float(np.clip(self.inclination + inclination, -np.pi / 2, np.pi / 2))
 
-    def move(self, forward: float, right: float, up: float, dt: float):
+    def increase_speed(self, delta: float):
+        """Mouse-wheel speed adjust (CameraController.h:153-157)."""
+        self.speed = max(self.speed + delta, 0.0)
+
+    def move(self, forward: float, right: float, up: float, dt: float,
+             fast: bool = False):
+        """Tick + Move (CameraController.h:141-146, :202-227): the LOCAL
+        direction (right, forward, up) rides eulerZX into world space — Q/E
+        move along the camera's local up, not world Z. The reference
+        normalizes only when some component is positive (its
+        glm::greaterThan(vec3(0)) quirk) — replicated so diagonal
+        backward-left strafes run sqrt(2) fast there and here alike."""
+        v = np.array([right, forward, up], np.float32)
+        if (v > 0).any():
+            n = float(np.linalg.norm(v))
+            if n > 0:
+                v = v / n
         rot = (_rot_z(self.azimuth) @ _rot_x(self.inclination))[:3, :3]
-        f = rot @ np.array([0.0, 1.0, 0.0], np.float32)
-        r = rot @ np.array([1.0, 0.0, 0.0], np.float32)
-        self.position = self.position + self.speed * dt * (
-            forward * f + right * r + up * np.array([0.0, 0.0, 1.0], np.float32)
-        )
+        speed = self.speed * (self.fast_factor if fast else 1.0)
+        self.position = self.position + speed * dt * (rot @ v)
 
     def world_to_view(self) -> np.ndarray:
         basis = np.array(

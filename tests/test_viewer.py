@@ -84,6 +84,72 @@ def _post(base, payload):
     assert urllib.request.urlopen(req, timeout=5).read() == b"ok"
 
 
+def test_viewer_fly_camera(tmp_path):
+    """FreeController reachable from the app shell (CameraController.h:
+    124-243): switch to fly mode (seeded seamlessly at the orbit eye),
+    drive WASD key + look events over HTTP, observe the camera move."""
+    from gltf_renderer_tpu.app import viewer
+
+    path = str(tmp_path / "box.gltf")
+    write_box_gltf(path)
+    server, state, thread = viewer.serve(
+        path, width=64, height=32, port=0, block=False
+    )
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        view_before = None
+        deadline = time.time() + 120
+        while time.time() < deadline and view_before is None:
+            try:
+                urllib.request.urlopen(base + "/frame.png", timeout=5)
+                view_before = np.array(state.renderer.camera.world_to_view)
+            except Exception:
+                time.sleep(0.5)
+        assert view_before is not None
+
+        _post(base, {"type": "mode", "value": "free"})
+        deadline = time.time() + 60
+        while time.time() < deadline and state.cam_mode != "free":
+            time.sleep(0.1)
+        assert state.cam_mode == "free"
+        # Seamless handoff: the free controller starts at the orbit eye with
+        # the same rotation, so the view matrix is (numerically) unchanged.
+        np.testing.assert_allclose(
+            state.free.world_to_view(), state.orbit.world_to_view(),
+            atol=1e-4)
+
+        pos0 = np.array(state.free.position)
+        speed0 = state.free.speed
+        _post(base, {"type": "key", "keys": ["w", "d"], "shift": True,
+                     "dt": 0.25})
+        _post(base, {"type": "orbit", "dx": 40, "dy": -10})   # fly look
+        _post(base, {"type": "dolly", "amount": -120})        # speed up
+        deadline = time.time() + 60
+        while time.time() < deadline and state.free.speed == speed0:
+            time.sleep(0.1)
+        assert not np.allclose(state.free.position, pos0)
+        assert state.free.speed > speed0            # wheel = IncreaseSpeed
+        assert state.free.azimuth != 0.0            # look drag landed
+        # The renderer camera follows the fly controller now.
+        assert not np.allclose(
+            np.array(state.renderer.camera.world_to_view), view_before)
+        st = json.loads(
+            urllib.request.urlopen(base + "/state", timeout=5).read())
+        assert st["cam_mode"] == "free"
+
+        # Switching back re-activates the orbit rig.
+        _post(base, {"type": "mode", "value": "orbit"})
+        deadline = time.time() + 60
+        while time.time() < deadline and state.cam_mode != "orbit":
+            time.sleep(0.1)
+        assert state.cam_mode == "orbit"
+    finally:
+        state.running = False
+        server.shutdown()
+        thread.join(timeout=60)
+
+
 def test_viewer_graphics_tab(tmp_path):
     """Graphics-tab parity (Main.cpp:224-340): drive a debug-channel change
     and a bounce change end-to-end over HTTP and observe them land in the
