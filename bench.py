@@ -126,7 +126,10 @@ def build_bench_scene(width, height, scene_kind=None):
 
 
 FIDELITY_RES = (256, 144)
-FIDELITY_SPP = 8
+FIDELITY_SPP = 32  # 8 spp measured SSIM-bound by discrete path flips (~4% of
+# pixels pick a different bounce path at decision boundaries across backends
+# — one flipped sample dominates a pixel at 8 spp); 32 spp averages them out
+# so the probe measures image fidelity, not sampler tie-breaks.
 FIDELITY_GOLDEN = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "tests", "goldens", "bench_fidelity.npy",
@@ -137,11 +140,11 @@ def render_fidelity_probe(ptscene, meta, settings, params, c2w):
     """Mean radiance of FIDELITY_SPP fixed-seed samples at FIDELITY_RES.
 
     Reuses the bench scene (FIDELITY_RES is 16:9, so the camera matrix is
-    identical). Seeds are pinned, so a TPU render and the committed
-    CPU-rendered golden (tools/make_goldens.py bench_fidelity) differ only by
-    backend numerics + kernel choice (Pallas packet traversal vs XLA
-    wavefront) — the bench's standing >=0.99-SSIM fidelity check
-    (BASELINE.json north star's SSIM axis).
+    identical). Seeds are pinned; the committed golden (tools/make_goldens.py
+    bench_fidelity) is the CPU render with the perf table knobs forced OFF
+    (f32 rows), so a TPU probe under bench defaults measures backend
+    numerics + kernel choice + table quantization combined — the gate the
+    BASELINE north star's SSIM axis wants (>= 0.995 committed bar).
     """
     import jax
     import jax.numpy as jnp
@@ -375,7 +378,12 @@ def main():
                     "device": str(jax.devices()[0]),
                     "mean_radiance": float(np.asarray(acc).mean() / steps),
                     "nan_pixels": nan_count,
-                    "ssim_vs_cpu_8spp": ssim_score,
+                    "ssim_vs_cpu_32spp": ssim_score,
+                    "gates": {
+                        "nan_pixels_zero": nan_count == 0.0,
+                        "ssim_ge_0995": (ssim_score is not None
+                                         and ssim_score >= 0.995),
+                    },
                     "raster_fps": raster_fps,
                     "step_s": step_s,
                     "mrays_median_step": round(

@@ -1718,7 +1718,18 @@ def _trace_rays(
             # into dead packets that terminate after one root test. Exact —
             # contrib is multiplied by f either way.
             s_active = ok & jnp.any(f > 0.0, -1)
-            nee_pending = (ray_origin, l_dir, prefix * jnp.where(ok[..., None], contrib, 0.0), s_active)
+            # The ok-mask must select OUTSIDE the prefix product (like every
+            # other accumulation site): a lane whose BSDF sample returned an
+            # inf weight (pdf underflow on a dead/garbage lane) carries an
+            # inf prefix, and inf * where(False, contrib, 0) = inf * 0 = NaN
+            # — which then rides s_contrib * shadow into the radiance of a
+            # MISS pixel (the round-4/5 one-pixel NaN, pinned on-chip to a
+            # single lane + seed; the reference branches on the light
+            # contribution before computing, ClosestHit:928-942, so
+            # where-outside is also the parity-exact form).
+            nee_pending = (ray_origin, l_dir,
+                           jnp.where(ok[..., None], prefix * contrib, 0.0),
+                           s_active)
 
         # Punctual light NEE (ClosestHit:944-956). When shadows are binary
         # (alpha_shadows off, or no MASK/BLEND material in the scene) AND a

@@ -25,13 +25,28 @@ from tests.golden_configs import CONFIGS, GOLDEN_DIR  # noqa: E402
 
 
 def make_bench_fidelity():
-    """CPU golden for bench.py's cross-backend SSIM probe (float npy)."""
+    """CPU golden for bench.py's cross-backend SSIM probe (float npy).
+
+    The golden is the FULL-PRECISION reference: perf table knobs (quad
+    atlas is bit-exact but forced off anyway; bf16 attr rows are real
+    quantization) are disabled for the golden render so the bench probe
+    under perf defaults measures total image degradation."""
     import numpy as np
 
     import bench as bench_mod
 
-    w, h = bench_mod.FIDELITY_RES
-    scene, meta, settings, params, c2w, _ = bench_mod.build_bench_scene(w, h)
+    saved = {k: os.environ.get(k) for k in ("GLTF_TPU_QUAD", "GLTF_TPU_BF16ROWS")}
+    os.environ["GLTF_TPU_QUAD"] = "0"
+    os.environ["GLTF_TPU_BF16ROWS"] = "0"
+    try:
+        w, h = bench_mod.FIDELITY_RES
+        scene, meta, settings, params, c2w, _ = bench_mod.build_bench_scene(w, h)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     probe = bench_mod.render_fidelity_probe(scene, meta, settings, params, c2w)
     np.save(bench_mod.FIDELITY_GOLDEN, probe.astype(np.float16))
     return probe.shape, bench_mod.FIDELITY_GOLDEN
