@@ -113,13 +113,21 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     off = jnp.stack([row[:, b + 3 : b + 5] for b in bases])       # (k, R, 2)
     scl = jnp.stack([row[:, b + 5 : b + 7] for b in bases])
 
-    uv = jnp.where((uvset == 1)[..., None], uv1[None], uv0[None])
+    # Float-mask blend, NOT jnp.where: XLA materializes cross-fusion pred
+    # tensors in the packed T(1024)(128)(4,1) layout, and the single-column
+    # metadata compares here measured 7.8 ms per call at 262k rays inside
+    # the alpha-retry loop (round-5 courtyard HLO profile). Multiplying by
+    # an exactly-0/1 float mask is bit-identical for finite uv (1*x+0*y==x)
+    # and keeps the fusion boundary in a fast f32 layout.
+    uvsel = (uvset == 1).astype(jnp.float32)[..., None]
+    uv = uv1[None] * uvsel + uv0[None] * (1.0 - uvsel)
     if not identity_uv:
         # Skipped when every used slot's KHR_texture_transform is identity
         # (PTMeta.identity_uv): the per-ray cos/sin alone profiled ~4% of a
         # transform-free PT step. Identity transform_uv returns uv exactly.
         uv = transform_uv(uv, rot, off, scl)
     present = tid >= 0
+    presf = present.astype(jnp.float32)[..., None]  # 0/1 blend mask (see uv)
 
     if compact:
         # Compact rows carry the 9 texture-metadata cols joined in per slot
@@ -276,7 +284,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
 
             out = bilq(q[0], xp0, yp0, tx0, ty0) * (1 - lfrac) + bilq(
                 q[1], xp1, yp1, tx1, ty1) * lfrac
-            out = jnp.where(present[..., None], out, 1.0)
+            out = out * presf + (1.0 - presf)
             return {s: (out[i], present[i]) for i, s in enumerate(slots)}
 
         ids0, tx0, ty0 = level_corners(l0, mrow2[0])
@@ -294,7 +302,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
 
         out = bil(texel[0:4], tx0, ty0) * (1 - lfrac) + bil(
             texel[4:8], tx1, ty1) * lfrac
-        out = jnp.where(present[..., None], out, 1.0)
+        out = out * presf + (1.0 - presf)
         return {s: (out[i], present[i]) for i, s in enumerate(slots)}
 
     ah, aw = textures.atlas.shape[0], textures.atlas.shape[1]
@@ -329,7 +337,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         )
         out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
             c01 * (1 - tx) + c11 * tx) * ty
-        out = jnp.where(present[..., None], out, 1.0)
+        out = out * presf + (1.0 - presf)
         return {s: (out[i], present[i]) for i, s in enumerate(slots)}
 
     idx = jnp.stack(
@@ -352,7 +360,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         texel = jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
     c00, c10, c01, c11 = texel[0], texel[1], texel[2], texel[3]
     out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
-    out = jnp.where(present[..., None], out, 1.0)
+    out = out * presf + (1.0 - presf)
     return {s: (out[i], present[i]) for i, s in enumerate(slots)}
 
 

@@ -1008,12 +1008,19 @@ def _alpha_retry(scene: PTScene, meta: PTMeta, hit, origin, direction, t_min, t_
     """The masked-alpha IgnoreHit retraversal loop (shared by trace_closest
     and the merged bounce+shadow dispatch)."""
 
+    # Loop-carried lane masks ride as int32, NOT bool: XLA materializes
+    # 1-D while-carried pred[R] in the packed T(1024)(128)(4,1) layout, and
+    # the fusions producing them measured 0.6 GB/s / ~7.8 ms per iteration
+    # at 262k rays on the courtyard profile (~28% of the frame across the
+    # retry loops). The same compare carried as i32 writes at full rate.
+
     def cond(state):
-        need_retry, _hit, _tmin, it = state
-        return jnp.any(need_retry) & (it < MAX_ALPHA_HOPS)
+        nr_i, _hit, _tmin, it = state
+        return jnp.any(nr_i > 0) & (it < MAX_ALPHA_HOPS)
 
     def body(state):
-        need_retry, cur, tmin_cur, it = state
+        nr_i, cur, tmin_cur, it = state
+        need_retry = nr_i > 0
         tmin_next = jnp.where(need_retry, cur.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
         # Disable finished rays by collapsing their interval.
         eff_tmin = jnp.where(need_retry, tmin_next, t_max + 1.0)
@@ -1026,9 +1033,9 @@ def _alpha_retry(scene: PTScene, meta: PTMeta, hit, origin, direction, t_min, t_
             v=jnp.where(need_retry, nh.v, cur.v),
         )
         retry = _needs_alpha_retry(scene, meta, merged) & need_retry
-        return retry, merged, tmin_next, it + 1
+        return retry.astype(jnp.int32), merged, tmin_next, it + 1
 
-    retry0 = _needs_alpha_retry(scene, meta, hit)
+    retry0 = _needs_alpha_retry(scene, meta, hit).astype(jnp.int32)
     _, hit, _, _ = jax.lax.while_loop(
         cond, body, (retry0, hit, jnp.broadcast_to(t_min, hit.t.shape), 0)
     )
@@ -1036,16 +1043,17 @@ def _alpha_retry(scene: PTScene, meta: PTMeta, hit, origin, direction, t_min, t_
 
 
 def _needs_alpha_retry(scene: PTScene, meta: PTMeta, hit: bvh_ops.Hit):
-    from gltf_renderer_tpu.scene.flatten import TRI_ALPHA_SHIFT
-
     valid = hit.tri >= 0
-    tri_c = jnp.clip(hit.tri, 0, None)
-    fbits = scene.world.tri_rows[tri_c, 4]
-    is_mask = ((fbits >> TRI_ALPHA_SHIFT) & 3) == T.ALPHA_MODE_MASK
-    maybe = valid & is_mask
     alpha, mrow = _hit_base_alpha(scene, meta, hit.tri, hit.u, hit.v)
+    # Alpha mode from the material row ALREADY gathered by _hit_base_alpha
+    # (a triangle's alpha mode IS its material's, plan_tri_flags) — the old
+    # tri_rows re-gather was one more per-iteration 262k gather for data
+    # this row carries at word 33 (get_alpha_row reads the same bits).
+    from gltf_renderer_tpu.ops.material import _bits
+
+    is_mask = _bits(mrow[:, 33]) == T.ALPHA_MODE_MASK
     cutoff = mrow[:, 10]
-    return maybe & (alpha < cutoff)
+    return valid & is_mask & (alpha < cutoff)
 
 
 def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_shadow: bool,
@@ -1102,12 +1110,14 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
             occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
         return overlay(jnp.where(occluded, 0.0, 1.0))
 
+    # int32 lane-mask carry for the same pred-layout reason as _alpha_retry.
     def cond(state):
-        alive, _trans, _tmin, it = state
-        return jnp.any(alive) & (it < MAX_SHADOW_HOPS)
+        alive_i, _trans, _tmin, it = state
+        return jnp.any(alive_i > 0) & (it < MAX_SHADOW_HOPS)
 
     def body(state):
-        alive, trans, tmin_cur, it = state
+        alive_i, trans, tmin_cur, it = state
+        alive = alive_i > 0
         eff_tmin = jnp.where(alive, tmin_cur, t_max + 1.0)
         hit = closest_hit(scene, meta, origin, direction, eff_tmin, t_max, sort_rays=True,
                           sort_spatial=sort_spatial)
@@ -1119,9 +1129,9 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
         trans = jnp.where(hit_valid, trans * (1.0 - a), trans)
         alive = hit_valid & (trans > 0.0)
         tmin_cur = jnp.where(alive, hit.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
-        return alive, trans, tmin_cur, it + 1
+        return alive.astype(jnp.int32), trans, tmin_cur, it + 1
 
-    alive0 = active
+    alive0 = active.astype(jnp.int32)
     trans0 = fzero + 1.0
     _, trans, _, _ = jax.lax.while_loop(cond, body, (alive0, trans0, t_min, 0))
     return overlay(trans)
