@@ -293,6 +293,19 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
                 return jax.device_put(x, cpu)
             return x
 
+        # Stage timings to stderr: setup_s regressions through the tunnel
+        # have repeatedly been unattributable after the fact (a cache hit
+        # once took 227 s in a bad window); this pins pull/key/load/put.
+        import sys as _sys
+        import time as _time
+
+        def _mark(label, t0):
+            dt = _time.perf_counter() - t0
+            if dt > 2.0:
+                print(f"[make_pt_scene] {label}: {dt:.1f}s", file=_sys.stderr)
+            return _time.perf_counter()
+
+        t = _time.perf_counter()
         inputs = jax.tree.map(to_cpu, (world, materials, textures, lights))
         inputs = jax.tree.map(np.asarray, inputs)
         # Finished tables are disk-cached by content hash (+ GLTF_TPU_* knobs
@@ -301,8 +314,11 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
         from gltf_renderer_tpu.utils import scene_cache
 
         env_host = jax.tree.map(np.asarray, jax.tree.map(to_cpu, env))
+        t = _mark("device->host pull", t)
         key = scene_cache.compute_key((inputs, env_host))
+        t = _mark("cache key hash", t)
         cached = scene_cache.load(key)
+        t = _mark("cache load", t)
         if cached is not None:
             host, built_env, meta = cached
         else:
@@ -316,9 +332,13 @@ def make_pt_scene(world: WorldGeometry, materials, textures, lights, env=None,
                 built_env = jax.tree.map(np.asarray, scene.env)
                 host = jax.tree.map(np.asarray, scene._replace(env=None))
             scene_cache.store(key, (host, built_env, meta))
+            t = _mark("build+store (cache miss)", t)
         # numpy leaves -> device_put lands on the DEFAULT device; re-wrapping
         # the CPU-backend jax arrays directly would leave the env CPU-pinned.
-        return jax.device_put(host)._replace(env=jax.device_put(built_env)), meta
+        scene_dev = jax.device_put(host)._replace(env=jax.device_put(built_env))
+        jax.block_until_ready(jax.tree.leaves(scene_dev))
+        _mark("host->device put", t)
+        return scene_dev, meta
 
     wpos = np.asarray(world.position)
     tv = np.asarray(world.tri_vertex)
