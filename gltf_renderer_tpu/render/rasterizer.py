@@ -355,12 +355,16 @@ def _alpha_retry_raster(scene, meta, hit, origin, direction, t_max):
     """Re-trace past alpha-REJECTED masked texels (the raster 'discard')."""
     from gltf_renderer_tpu.render.pathtracer import _needs_alpha_retry, closest_hit
 
+    # int32 lane-mask carry: a bool while-carry materializes a packed-pred
+    # tensor every iteration (~0.6 GB/s writes) — see _alpha_retry and the
+    # round-5 pred-layout study in docs/PERFORMANCE.md.
     def cond(state):
-        retry, _h, it = state
-        return jnp.any(retry) & (it < 8)
+        retry_i, _h, it = state
+        return jnp.any(retry_i > 0) & (it < 8)
 
     def body(state):
-        retry, cur, it = state
+        retry_i, cur, it = state
+        retry = retry_i > 0
         tmin2 = jnp.where(retry, cur.t * (1.0 + 1e-5) + 1e-6, t_max + 1.0)
         nh = closest_hit(
             scene, meta, origin, direction, tmin2, t_max,
@@ -372,9 +376,10 @@ def _alpha_retry_raster(scene, meta, hit, origin, direction, t_max):
             u=jnp.where(retry, nh.u, cur.u),
             v=jnp.where(retry, nh.v, cur.v),
         )
-        return _needs_alpha_retry(scene, meta, merged) & retry, merged, it + 1
+        retry = _needs_alpha_retry(scene, meta, merged) & retry
+        return retry.astype(jnp.int32), merged, it + 1
 
-    retry0 = _needs_alpha_retry(scene, meta, hit)
+    retry0 = _needs_alpha_retry(scene, meta, hit).astype(jnp.int32)
     _, hit, _ = jax.lax.while_loop(cond, body, (retry0, hit, 0))
     return hit
 
