@@ -834,6 +834,64 @@ def _cylinder(center, radius, height, n_seg, n_h):
     return p.reshape(-1, 3), n.reshape(-1, 3), uv.reshape(-1, 2), idx
 
 
+def write_plane_light_gltf(path, kind="directional", intensity=3.0,
+                           half=20.0, base_color=(0.8, 0.6, 0.4, 1.0)):
+    """Lambertian ground plane + ONE punctual light aimed straight down.
+
+    Built for the closed-form absolute path-tracer tests: the quad lies in
+    the glTF XZ plane (world XY after Y_UP_TO_Z_UP, normal world +Z) and
+    the light axis is world -Z — directional via a -90-degree X rotation
+    of the light node (glTF lights emit along node -Z, Lights.hlsli:26),
+    point via a node at glTF (0, 8, 0) = world (0, 0, 8).
+    """
+    doc = {"asset": {"version": "2.0"}, "scene": 0}
+    bin_parts = []
+    s = float(half)
+    p = np.asarray(
+        [[-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]], np.float32)
+    n = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.asarray([0, 2, 1, 0, 3, 2], np.uint16)
+    ip = _acc(doc, bin_parts, p, target=34962)
+    inn = _acc(doc, bin_parts, n, target=34962)
+    iuv = _acc(doc, bin_parts, uv, target=34962)
+    ii = _acc(doc, bin_parts, idx, target=34963)
+    doc["meshes"] = [{"primitives": [{
+        "attributes": {"POSITION": ip, "NORMAL": inn, "TEXCOORD_0": iuv},
+        "indices": ii, "material": 0,
+    }]}]
+    doc["materials"] = [{
+        "pbrMetallicRoughness": {
+            "baseColorFactor": list(base_color),
+            "metallicFactor": 0.0,
+            "roughnessFactor": 1.0,
+        },
+        # Zero the dielectric specular layer so the surface is EXACTLY
+        # Lambertian (otherwise the 0.04-f0 Fresnel + GGX lobe shifts the
+        # closed form by a channel-dependent ~1-2%).
+        "extensions": {"KHR_materials_specular": {"specularFactor": 0.0}},
+        "doubleSided": True,
+    }]
+    doc["extensionsUsed"] = ["KHR_lights_punctual", "KHR_materials_specular"]
+    doc["extensions"] = {"KHR_lights_punctual": {"lights": [
+        {"type": kind, "intensity": float(intensity), "color": [1, 1, 1]}
+    ]}}
+    r2 = float(np.sqrt(0.5))
+    light_node = {"extensions": {"KHR_lights_punctual": {"light": 0}},
+                  "name": "light"}
+    if kind == "directional":
+        light_node["rotation"] = [-r2, 0.0, 0.0, r2]   # -Z_local -> world -Z
+    else:
+        light_node["translation"] = [0.0, 8.0, 0.0]    # world (0, 0, 8)
+    doc["nodes"] = [{"mesh": 0, "name": "plane"}, light_node]
+    doc["scenes"] = [{"nodes": [0, 1]}]
+    blob = b"".join(bin_parts)
+    doc["buffers"] = [{"byteLength": len(blob), "uri": _buf_uri(blob)}]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
 def write_courtyard_glb(path, density=1, tex_size=256):
     """Sponza-class stress scene: colonnaded courtyard, ~290k tris at
     density=1 (~1.1M at density=2), 5 materials (stone floor/walls, marble

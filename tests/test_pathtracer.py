@@ -430,6 +430,103 @@ def test_pt_layer_furnace_no_energy_gain(layer, tmp_path):
     assert np.all(center >= 0.5 * 0.55), (layer, center)
 
 
+def test_pt_directional_closed_form(tmp_path):
+    """Absolute end-to-end gate (no probe, no golden): a Lambertian plane
+    under a straight-down directional light renders EXACTLY albedo*I/pi at
+    every pixel — independent of the hit point, so primary-ray jitter
+    cannot move the expected value. Pins camera rays, NEE (GetLightRay,
+    Lights.hlsli:26-61), the diffuse BSDF*cos/pdf chain, and accumulation
+    as one closed form."""
+    from gltf_renderer_tpu.scene.procedural import write_plane_light_gltf
+
+    albedo = np.asarray([0.8, 0.6, 0.4])
+    intensity = 3.0
+    path = write_plane_light_gltf(str(tmp_path / "plane.gltf"),
+                                  kind="directional", intensity=intensity,
+                                  base_color=(*albedo, 1.0))
+    scene, world, lights = _load_world(path)
+    # Precondition on the loader: the light axis really is world -Z.
+    np.testing.assert_allclose(
+        np.asarray(lights.direction[0]), [0.0, 0.0, -1.0], atol=1e-6)
+    ptscene, meta = pt.make_pt_scene(
+        world, jax.tree.map(jnp.asarray, scene.materials),
+        jax.tree.map(jnp.asarray, scene.textures),
+        jax.tree.map(jnp.asarray, lights),
+    )
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=1.0, z_near=0.01)
+    cam.world_to_view = look_at([0.0, -2.0, 2.0], [0.0, 0.0, 0.0])
+    settings = S.PathTracerSettings(
+        max_bounces=1, min_bounces=1, environment_map=False,
+        luminance_clamp_enabled=False,
+    )
+    params = S.PathTracerParams(environment_color=(0.0, 0.0, 0.0))
+    c2w = jnp.asarray(cam.clip_to_world())
+    img = np.asarray(
+        pt.trace(ptscene, meta, settings, params, c2w, (64, 64),
+                 jnp.uint32(3)))
+    expected = albedo * intensity / np.pi   # cos(theta) = 1 everywhere
+    assert np.all(np.isfinite(img))
+    exp = np.broadcast_to(expected, img.shape)
+    rel = np.abs(img - exp) / exp
+    # Tight bound everywhere but the quad's shared-edge diagonal, where the
+    # ray-offset epsilon can graze the sibling triangle for isolated pixels.
+    assert np.mean(rel <= 2e-3) >= 0.999, rel.max()
+    assert rel.max() <= 1e-2, rel.max()
+
+
+def test_pt_point_light_closed_form(tmp_path):
+    """Absolute inverse-square gate: Lambertian plane, point light at
+    world (0,0,8), expected radiance albedo/pi * I * h/r^3 computed from
+    the analytic unjittered ray-plane intersection per pixel. The light is
+    far enough that sub-pixel jitter moves the value < 0.5%."""
+    from gltf_renderer_tpu.scene.procedural import write_plane_light_gltf
+
+    albedo = np.asarray([0.8, 0.6, 0.4])
+    intensity = 40.0
+    h = 8.0
+    path = write_plane_light_gltf(str(tmp_path / "plane.gltf"),
+                                  kind="point", intensity=intensity,
+                                  base_color=(*albedo, 1.0))
+    scene, world, lights = _load_world(path)
+    np.testing.assert_allclose(
+        np.asarray(lights.position[0]), [0.0, 0.0, h], atol=1e-6)
+    ptscene, meta = pt.make_pt_scene(
+        world, jax.tree.map(jnp.asarray, scene.materials),
+        jax.tree.map(jnp.asarray, scene.textures),
+        jax.tree.map(jnp.asarray, lights),
+    )
+    cam = Camera(y_fov=np.pi / 3, aspect_ratio=1.0, z_near=0.01)
+    cam.world_to_view = look_at([0.0, -2.0, 2.0], [0.0, 0.0, 0.0])
+    settings = S.PathTracerSettings(
+        max_bounces=1, min_bounces=1, environment_map=False,
+        luminance_clamp_enabled=False,
+    )
+    params = S.PathTracerParams(environment_color=(0.0, 0.0, 0.0))
+    c2w = jnp.asarray(cam.clip_to_world())
+    res = 64
+    img = np.asarray(
+        pt.trace(ptscene, meta, settings, params, c2w, (res, res),
+                 jnp.uint32(5)))
+    # Analytic pixel-center hit points on the z=0 plane.
+    py, px = np.mgrid[0:res, 0:res]
+    zero_j = jnp.zeros((res, res, 2), jnp.float32)
+    o, d = pt.generate_camera_rays(jnp.asarray(px), jnp.asarray(py),
+                                   (res, res), c2w, zero_j)
+    o, d = np.asarray(o), np.asarray(d)
+    t = -o[..., 2] / d[..., 2]
+    p = o + t[..., None] * d
+    r2 = p[..., 0] ** 2 + p[..., 1] ** 2 + h * h
+    expected = (albedo[None, None] / np.pi * intensity
+                * (h / r2 ** 1.5)[..., None])
+    assert np.all(np.isfinite(img))
+    # The unjittered-ray closed form drifts with sub-pixel jitter in
+    # proportion to the radiance gradient: tight centrally (hit points near
+    # the light axis), loose at the oblique frame edges.
+    np.testing.assert_allclose(img[16:48, 16:48], expected[16:48, 16:48],
+                               rtol=2e-2)
+    np.testing.assert_allclose(img, expected, rtol=8e-2)
+
+
 def test_pt_furnace():
     """Furnace test (reference Material Diffuse White override +uniform env):
     white diffuse in a uniform environment must converge to env radiance."""
