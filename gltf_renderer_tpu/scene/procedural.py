@@ -1022,12 +1022,23 @@ def write_courtyard_glb(path, density=1, tex_size=256):
     # forward is +X world with Z up: R = rot_z(-90deg) * rot_x(90deg).
     doc["cameras"] = [{"type": "perspective",
                        "perspective": {"yfov": 1.0472, "znear": 0.05}}]
+    # The geometry above is authored directly in renderer world coordinates
+    # (Z-up: floor at z=0, pillars along +z), but the loader applies the
+    # reference's Y_UP_TO_Z_UP basis change at scene roots (Gltf.cpp:1017).
+    # A compensating root rotation (-90 deg about X, the inverse: world =
+    # Y_UP_TO_Z_UP @ R = identity) keeps the authored coordinates AS world
+    # coordinates — without it the whole courtyard rendered lying on its
+    # side (pillars horizontal, floor vertical; caught by the round-5
+    # config-5 artifact).
+    r2f = float(np.sqrt(0.5))
     doc["nodes"] = [
+        {"rotation": [-r2f, 0.0, 0.0, r2f], "children": [1, 2],
+         "name": "zup_root"},
         {"mesh": 0},
         {"camera": 0, "translation": [-9.0, 0.0, 1.7],
          "rotation": [0.5, -0.5, -0.5, 0.5]},
     ]
-    doc["scenes"] = [{"nodes": [0, 1]}]
+    doc["scenes"] = [{"nodes": [0]}]
     blob = b"".join(bin_parts)
     blob += b"\x00" * ((-len(blob)) % 4)
     doc["buffers"] = [{"byteLength": len(blob)}]
