@@ -111,19 +111,33 @@ def build_cube_quads(mips) -> Any:
             [img, img[:, :, xp], img[:, xp], img[:, xp][:, :, xp]], axis=-1
         )
         parts.append(q.reshape(-1, q.shape[-1]))
-    return np.concatenate(parts, 0)
+    out = np.concatenate(parts, 0)
+    if os.environ.get("GLTF_TPU_QUADF32", "0") != "1":
+        # f16 rows: the reference's cube/ggx/diffuse textures are
+        # DXGI_FORMAT_R16G16B16A16_FLOAT (EnvironmentMap.cpp:93-120), so
+        # half storage is the MORE faithful precision — and it halves the
+        # bytes of the hottest profiled line (the env quad gather ran at
+        # ~50 GB/s HBM, cache-miss bound: round-5 helmet profile). Clamp
+        # to the f16 range so >65504 radiance texels saturate instead of
+        # becoming inf (inf*0 in the bilerp would mint NaNs).
+        out = np.clip(out, -65504.0, 65504.0).astype(np.float16)
+    return out
 
 
-def _quad_bilerp(q, use_xp, use_yp, tx, ty):
-    """Bilinear over one quad row [c00, c10, c01, c11] with corner-select."""
+def _quad_bilerp(q, xpf, ypf, tx, ty):
+    """Bilinear over one quad row [c00, c10, c01, c11] with corner-select.
+
+    xpf/ypf are exactly-0/1 FLOAT corner-select masks, blended
+    arithmetically — a bool mask crossing the fusion boundary into this
+    blend materializes at the packed pred layout (round-5 profile: the
+    `ne` fusions wrote at ~13 GB/s). Blend == select bit-exactly for the
+    finite corner values here."""
     c = q.shape[-1] // 4
     c00 = q[..., 0:c]
-    c10 = jnp.where(use_xp, q[..., c:2 * c], c00)
-    c01 = jnp.where(use_yp, q[..., 2 * c:3 * c], c00)
-    c11 = jnp.where(
-        use_xp, jnp.where(use_yp, q[..., 3 * c:4 * c], q[..., c:2 * c]),
-        jnp.where(use_yp, q[..., 2 * c:3 * c], c00),
-    )
+    c10 = q[..., c:2 * c] * xpf + c00 * (1.0 - xpf)
+    c01 = q[..., 2 * c:3 * c] * ypf + c00 * (1.0 - ypf)
+    c11_x = q[..., 3 * c:4 * c] * ypf + q[..., c:2 * c] * (1.0 - ypf)
+    c11 = c11_x * xpf + c01 * (1.0 - xpf)
     return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
         c01 * (1 - tx) + c11 * tx) * ty
 
@@ -148,11 +162,11 @@ def sample_cube_level(faces, direction, quad=None):
     if quad is not None:
         w0x = jnp.clip(x0, 0, s - 1)
         w0y = jnp.clip(y0, 0, s - 1)
-        use_xp = (jnp.clip(x0 + 1, 0, s - 1) != w0x)[..., None]
-        use_yp = (jnp.clip(y0 + 1, 0, s - 1) != w0y)[..., None]
+        xpf = (jnp.clip(x0 + 1, 0, s - 1) != w0x).astype(jnp.float32)[..., None]
+        ypf = (jnp.clip(y0 + 1, 0, s - 1) != w0y).astype(jnp.float32)[..., None]
         q = quad[(base + w0y * s + w0x).reshape(-1)].reshape(
-            face.shape + (quad.shape[-1],))
-        return _quad_bilerp(q, use_xp, use_yp, tx, ty)
+            face.shape + (quad.shape[-1],)).astype(jnp.float32)
+        return _quad_bilerp(q, xpf, ypf, tx, ty)
 
     flat = faces.reshape(-1, faces.shape[-1])
 
@@ -221,14 +235,15 @@ def sample_cube(mips: List[Any], direction, level, quad=None):
             ty = (fy - y0)[..., None]
             w0x = jnp.clip(x0, 0, s - 1)
             w0y = jnp.clip(y0, 0, s - 1)
-            use_xp = (jnp.clip(x0 + 1, 0, s - 1) != w0x)[..., None]
-            use_yp = (jnp.clip(y0 + 1, 0, s - 1) != w0y)[..., None]
-            return off + face * (s * s) + w0y * s + w0x, use_xp, use_yp, tx, ty
+            xpf = (jnp.clip(x0 + 1, 0, s - 1) != w0x).astype(jnp.float32)[..., None]
+            ypf = (jnp.clip(y0 + 1, 0, s - 1) != w0y).astype(jnp.float32)[..., None]
+            return off + face * (s * s) + w0y * s + w0x, xpf, ypf, tx, ty
 
         i0, xp0, yp0, tx0, ty0 = level_quad(l0)
         i1, xp1, yp1, tx1, ty1 = level_quad(l1)
         ids = jnp.stack([i0, i1])                       # (2, R)
-        q = quad[ids.reshape(-1)].reshape(ids.shape + (quad.shape[-1],))
+        q = quad[ids.reshape(-1)].reshape(
+            ids.shape + (quad.shape[-1],)).astype(jnp.float32)
         out0 = _quad_bilerp(q[0], xp0, yp0, tx0, ty0)
         out1 = _quad_bilerp(q[1], xp1, yp1, tx1, ty1)
         return out0 * (1 - frac) + out1 * frac

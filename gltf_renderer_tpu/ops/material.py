@@ -93,7 +93,11 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     Forward.ps.hlsl mip-sampling analogue. None = SampleLevel 0 (the path
     tracer's Material.hlsli:95 parity quirk), bit-identical to before.
 
-    Returns {slot: (rgba (R, 4), present (R,) bool)}.
+    Returns {slot: (rgba (R, 4), present (R,) exactly-0/1 f32)}. The
+    present mask is float, not bool: it crosses the fusion boundary to
+    every consumer, and a 1-D bool output materializes at the packed pred
+    layout (~0.6 GB/s writes — round-5 pred-layout study). Consumers blend
+    arithmetically (bit-identical to select for finite operands).
     """
     from gltf_renderer_tpu.ops.texture import transform_uv
     from gltf_renderer_tpu.scene.types import WRAP_CLAMP, WRAP_REPEAT
@@ -258,9 +262,11 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
                     tyl = jnp.where(is_near[..., None], 0.0, tyl)
                 w0x = wrap(x0l, lw, ws)
                 w0y = wrap(y0l, lh, wt)
-                use_xp = (wrap(x0l + 1, lw, ws) != w0x)[..., None]
-                use_yp = (wrap(y0l + 1, lh, wt) != w0y)[..., None]
-                return base_i + w0y * lw + w0x, use_xp, use_yp, txl, tyl
+                # 0/1 float corner-select masks (pred-layout rule; see the
+                # atlas_quad branch below).
+                xpf = (wrap(x0l + 1, lw, ws) != w0x).astype(jnp.float32)[..., None]
+                ypf = (wrap(y0l + 1, lh, wt) != w0y).astype(jnp.float32)[..., None]
+                return base_i + w0y * lw + w0x, xpf, ypf, txl, tyl
 
             i0, xp0, yp0, tx0, ty0 = level_quad(l0, mrow2[0])
             i1, xp1, yp1, tx1, ty1 = level_quad(l1, mrow2[1])
@@ -271,21 +277,19 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
                 ids.shape + (-1,)
             ).astype(jnp.float32)                                 # 1 gather
 
-            def bilq(qq, use_xp, use_yp, tx_, ty_):
+            def bilq(qq, xpf, ypf, tx_, ty_):
                 c00 = qq[..., 0:4]
-                c10 = jnp.where(use_xp, qq[..., 4:8], c00)
-                c01 = jnp.where(use_yp, qq[..., 8:12], c00)
-                c11 = jnp.where(
-                    use_xp, jnp.where(use_yp, qq[..., 12:16], qq[..., 4:8]),
-                    jnp.where(use_yp, qq[..., 8:12], c00),
-                )
+                c10 = qq[..., 4:8] * xpf + c00 * (1.0 - xpf)
+                c01 = qq[..., 8:12] * ypf + c00 * (1.0 - ypf)
+                c11_x = qq[..., 12:16] * ypf + qq[..., 4:8] * (1.0 - ypf)
+                c11 = c11_x * xpf + c01 * (1.0 - xpf)
                 return (c00 * (1 - tx_) + c10 * tx_) * (1 - ty_) + (
                     c01 * (1 - tx_) + c11 * tx_) * ty_
 
             out = bilq(q[0], xp0, yp0, tx0, ty0) * (1 - lfrac) + bilq(
                 q[1], xp1, yp1, tx1, ty1) * lfrac
             out = out * presf + (1.0 - presf)
-            return {s: (out[i], present[i]) for i, s in enumerate(slots)}
+            return {s: (out[i], presf[i, ..., 0]) for i, s in enumerate(slots)}
 
         ids0, tx0, ty0 = level_corners(l0, mrow2[0])
         ids1, tx1, ty1 = level_corners(l1, mrow2[1])
@@ -303,7 +307,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         out = bil(texel[0:4], tx0, ty0) * (1 - lfrac) + bil(
             texel[4:8], tx1, ty1) * lfrac
         out = out * presf + (1.0 - presf)
-        return {s: (out[i], present[i]) for i, s in enumerate(slots)}
+        return {s: (out[i], presf[i, ..., 0]) for i, s in enumerate(slots)}
 
     ah, aw = textures.atlas.shape[0], textures.atlas.shape[1]
 
@@ -321,24 +325,27 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
         # center channel instead of the baked neighbor.
         w0x = wrap(x0, w, ws)
         w0y = wrap(y0, h, wt)
-        use_xp = (wrap(x0 + 1, w, ws) != w0x)[..., None]
-        use_yp = (wrap(y0 + 1, h, wt) != w0y)[..., None]
+        # Exactly-0/1 float corner-select masks, blended arithmetically:
+        # bool masks crossing into the blend fusion materialize at the
+        # packed pred layout (round-5 helmet profile: these `ne` fusions
+        # wrote at ~13 GB/s, 63 ms/frame). Blend == select bit-exactly for
+        # the finite texel values here.
+        xpf = (wrap(x0 + 1, w, ws) != w0x).astype(jnp.float32)[..., None]
+        ypf = (wrap(y0 + 1, h, wt) != w0y).astype(jnp.float32)[..., None]
         idx0 = (jnp.clip(w0y + oy, 0, ah - 1) * aw
                 + jnp.clip(w0x + ox, 0, aw - 1))                  # (k, R)
         quad = textures.atlas_quad[idx0.reshape(-1)].reshape(
             idx0.shape + (-1,)
         ).astype(jnp.float32)                                     # (k, R, 16)
         c00 = quad[..., 0:4]
-        c10 = jnp.where(use_xp, quad[..., 4:8], c00)
-        c01 = jnp.where(use_yp, quad[..., 8:12], c00)
-        c11 = jnp.where(
-            use_xp, jnp.where(use_yp, quad[..., 12:16], quad[..., 4:8]),
-            jnp.where(use_yp, quad[..., 8:12], c00),
-        )
+        c10 = quad[..., 4:8] * xpf + c00 * (1.0 - xpf)
+        c01 = quad[..., 8:12] * ypf + c00 * (1.0 - ypf)
+        c11_x = quad[..., 12:16] * ypf + quad[..., 4:8] * (1.0 - ypf)
+        c11 = c11_x * xpf + c01 * (1.0 - xpf)
         out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
             c01 * (1 - tx) + c11 * tx) * ty
         out = out * presf + (1.0 - presf)
-        return {s: (out[i], present[i]) for i, s in enumerate(slots)}
+        return {s: (out[i], presf[i, ..., 0]) for i, s in enumerate(slots)}
 
     idx = jnp.stack(
         [flat_idx(x0, y0), flat_idx(x0 + 1, y0),
@@ -361,7 +368,7 @@ def sample_slots_fused(row, textures, slots, uv0, uv1, used_slots=ALL_SLOTS,
     c00, c10, c01, c11 = texel[0], texel[1], texel[2], texel[3]
     out = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
     out = out * presf + (1.0 - presf)
-    return {s: (out[i], present[i]) for i, s in enumerate(slots)}
+    return {s: (out[i], presf[i, ..., 0]) for i, s in enumerate(slots)}
 
 
 def sample_texture_row(textures, tex_id, uv, rotation, offset, scale):
@@ -441,7 +448,7 @@ def slot_sample_row(row, textures, slot, uv0, uv1, used_slots=ALL_SLOTS,
     by every material in the scene."""
     if slot not in used_slots:
         ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
-        return ones, jnp.zeros(uv0.shape[:-1], bool)
+        return ones, jnp.zeros(uv0.shape[:-1], jnp.float32)
     out = sample_slots_fused(row, textures, (slot,), uv0, uv1, used_slots, compact,
                              identity_uv=identity_uv, wrap_modes=wrap_modes,
                              any_nearest=any_nearest)
@@ -500,12 +507,14 @@ def get_alpha(materials, mat_id, base_color):
     )
 
 
-def _perturb_normal(sample_rgb, present, scale, base_normal, t2w_t, t2w_b, t2w_n):
+def _perturb_normal(sample_rgb, presf, scale, base_normal, t2w_t, t2w_b, t2w_n):
+    """presf: exactly-0/1 f32 present mask (blend == select, pred-layout rule)."""
     nm = sample_rgb * 2.0 - 1.0
     nm = jnp.concatenate([nm[..., 0:2] * scale[..., None], nm[..., 2:3]], -1)
     n = nm[..., 0:1] * t2w_t + nm[..., 1:2] * t2w_b + nm[..., 2:3] * t2w_n
     n = normalize(n)
-    return jnp.where(present[..., None], n, base_normal)
+    m = presf[..., None]
+    return n * m + base_normal * (1.0 - m)
 
 
 def normal_adaptation(ng, ns, v):
@@ -561,7 +570,7 @@ def get_surface_properties(
                              identity_uv=identity_uv, wrap_modes=wrap_modes,
                              any_nearest=any_nearest)
     ones = jnp.ones(uv0.shape[:-1] + (4,), jnp.float32)
-    no = jnp.zeros(uv0.shape[:-1], bool)
+    no = jnp.zeros(uv0.shape[:-1], jnp.float32)  # absent slot: presf == 0
 
     def slot(s):
         return tex.get(s, (ones, no))
@@ -587,7 +596,7 @@ def get_surface_properties(
 
     # Occlusion (Material.hlsli:142-150).
     occ_s, occ_p = slot(T.TEX_OCCLUSION)
-    occlusion = jnp.where(occ_p, 1.0 + row[:, 6] * (occ_s[..., 0] - 1.0), 1.0)
+    occlusion = (1.0 + row[:, 6] * (occ_s[..., 0] - 1.0)) * occ_p + (1.0 - occ_p)
 
     # Emissive.
     em_s, _ = slot(T.TEX_EMISSIVE)
@@ -614,10 +623,11 @@ def get_surface_properties(
 
     # Anisotropy (Material.hlsli:245-262).
     an_s, an_p = slot(T.TEX_ANISOTROPY)
-    an_tex = jnp.where(
-        an_p[..., None],
-        jnp.concatenate([an_s[..., 0:2] * 2.0 - 1.0, an_s[..., 2:3]], -1),
-        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 1.0]), an_s[..., :3].shape),
+    an_m = an_p[..., None]
+    an_tex = (
+        jnp.concatenate([an_s[..., 0:2] * 2.0 - 1.0, an_s[..., 2:3]], -1) * an_m
+        + jnp.broadcast_to(jnp.asarray([1.0, 0.0, 1.0]), an_s[..., :3].shape)
+        * (1.0 - an_m)
     )
     a_rot = row[:, 21]
     ca, sa = jnp.cos(a_rot), jnp.sin(a_rot)

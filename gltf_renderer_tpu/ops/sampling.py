@@ -239,14 +239,19 @@ def sample_importance_alias(rows, size, total, u4):
     n = size * size
     b = jnp.minimum((u4[..., 0] * n).astype(jnp.int32), n - 1)
     r = rows[b]
-    take_alias = u4[..., 1] >= r[..., 0]
+    # 0/1 branch mask as int/float arithmetic, not a bool select: the bool
+    # would ride the gather fusion's output at the packed pred layout
+    # (round-5 helmet profile: 7.8 GB/s writes on this fusion).
+    take_i = (u4[..., 1] >= r[..., 0]).astype(jnp.int32)
+    take_f = take_i.astype(jnp.float32)
     alias_idx = jax.lax.bitcast_convert_type(r[..., 1], jnp.int32)
-    texel = jnp.where(take_alias, alias_idx, b)
-    value = jnp.where(take_alias, r[..., 3], r[..., 2])
+    texel = alias_idx * take_i + b * (1 - take_i)
+    value = r[..., 3] * take_f + r[..., 2] * (1.0 - take_f)
     if r.shape[-1] >= 10:
-        rgb = jnp.where(take_alias[..., None], r[..., 7:10], r[..., 4:7])
+        tf = take_f[..., None]
+        rgb = r[..., 7:10] * tf + r[..., 4:7] * (1.0 - tf)
     else:  # slim 4-wide table (no baked colors — caller fetches the cube)
-        rgb = jnp.zeros(take_alias.shape + (3,), r.dtype)
+        rgb = jnp.zeros(take_f.shape + (3,), r.dtype)
     px = (texel % size).astype(jnp.float32)
     py = (texel // size).astype(jnp.float32)
     uv = jnp.stack(

@@ -57,6 +57,8 @@ from gltf_renderer_tpu.utils.math import (
 
 MAX_ALPHA_HOPS = 8  # any-hit re-traversal bound for alpha-masked geometry
 MAX_SHADOW_HOPS = 16
+NO_TCAP = 1e30  # _proxy_occlusion "no certain hit": large-finite so that
+# min(t_max, tcap*(1+eps)) is a no-op without an isfinite pred
 
 
 class PTScene(NamedTuple):
@@ -834,8 +836,13 @@ def _proxy_occlusion(scene, origin, direction, t_min, t_max, want_tcap=False):
     and unmarked lanes traverse normally — the prepass is conservative and
     cannot change the image.
 
-    Returns (occluded (R,) bool, t_cap (R,) f32) — t_cap is +inf where no
-    certain proxy hit exists (only computed when want_tcap).
+    Returns (occluded (R,) f32 exactly-0/1 mask, t_cap (R,) f32) — t_cap is
+    NO_TCAP (1e30, large-finite so a downstream `minimum` is a no-op) where
+    no certain proxy hit exists (only computed when want_tcap). Both outputs
+    are float on purpose: a bool (R,) fusion output materializes at the
+    packed pred layout (~0.6 GB/s — the round-5 pred-layout class), while
+    the same verdict as a 0/1 float writes at full rate and every consumer
+    blends arithmetically (bit-identical for the finite inputs here).
     """
     idx = scene.occluder_idx
     tv = scene.world.tri_vertex[jnp.clip(idx, 0, None)]
@@ -899,12 +906,12 @@ def _proxy_occlusion(scene, origin, direction, t_min, t_max, want_tcap=False):
         & (ts >= tmin_c * ad + (m_t + jnp.abs(tmin_c) * m_det))
         & (ts <= tmax_c * ad - (m_t + jnp.abs(tmax_c) * m_det))
     )
-    occluded = jnp.any(hit, -1)
+    occluded = jnp.max(hit.astype(jnp.float32), -1)  # 0/1 float, full-rate write
     if not want_tcap:
         return occluded, None
     # Upper bound on the hit distance: numerator rounded up, |det| down.
     t_hi = (ts + m_t) / jnp.maximum(ad - m_det, 1e-30)
-    t_hit = jnp.where(hit, t_hi, jnp.inf)
+    t_hit = jnp.where(hit, t_hi, NO_TCAP)  # intra-fusion select: free
     return occluded, jnp.min(t_hit, -1)
 
 
@@ -930,14 +937,16 @@ def trace_bounce_and_shadow(
     prunes everything beyond the floor/wall the ray will land on. Both are
     conservative: the image is bit-identical (tests pin it).
     """
-    occ_s = None
+    occ_s = None  # 0/1 float mask (see _proxy_occlusion: pred-layout rule)
     if meta.shadow_prepass and scene.occluder_idx is not None:
         r_s = o_s.shape[0]
         tmax_s = jnp.broadcast_to(tmax_s, (r_s,))
         occ_s, _ = _proxy_occlusion(
             scene, o_s, d_s, jnp.broadcast_to(tmin_s, (r_s,)), tmax_s
         )
-        tmin_s = jnp.where(occ_s, tmax_s + 1.0, tmin_s)
+        # Blend, don't select: occluded lanes get tmin = tmax+1 exactly
+        # (occ_s is exactly 0 or 1), live lanes keep tmin bit-exactly.
+        tmin_s = (tmax_s + 1.0) * occ_s + jnp.broadcast_to(tmin_s, (r_s,)) * (1.0 - occ_s)
         if trace_bounce and cull_sign == 0:
             r_b = o_b.shape[0]
             tmax_bb = jnp.broadcast_to(tmax_b, (r_b,))
@@ -946,14 +955,12 @@ def trace_bounce_and_shadow(
                 want_tcap=True,
             )
             # Cap just past the certain hit so traversal still finds it.
-            tmax_b = jnp.where(
-                jnp.isfinite(tcap),
-                jnp.minimum(tmax_bb, tcap * (1.0 + 2e-4) + 1e-5),
-                tmax_bb,
-            )
+            # No-hit lanes carry NO_TCAP, so the minimum is a no-op there
+            # (no isfinite pred needed).
+            tmax_b = jnp.minimum(tmax_bb, tcap * (1.0 + 2e-4) + 1e-5)
 
     def overlay(trans):
-        return trans if occ_s is None else jnp.where(occ_s, 0.0, trans)
+        return trans if occ_s is None else trans * (1.0 - occ_s)
 
     def shadow_only():
         # Env shadow rays: direction-octant ordering only (no origin major —
@@ -999,8 +1006,7 @@ def trace_bounce_and_shadow(
         mode=lane_mode,
     )
     hit = bvh_ops.Hit(t=hit2.t[:r], tri=hit2.tri[:r], u=hit2.u[:r], v=hit2.v[:r])
-    occluded = hit2.tri[r:] >= 0
-    trans = overlay(jnp.where(occluded, 0.0, 1.0))
+    trans = overlay((hit2.tri[r:] < 0).astype(jnp.float32))
     if meta.has_masked:
         hit = _alpha_retry(scene, meta, hit, o_b, d_b, tmin_b, tmax_b,
                            cull_sign, True, sort_spatial)
@@ -1098,26 +1104,30 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
     fzero = origin[:, 0] * 0.0  # varying-axes-correct zero under shard_map
     t_min = fzero
     if active is None:
-        active = fzero == 0.0
+        act_f = fzero + 1.0
+    else:
+        # 0/1 float lane mask (pred-layout rule: a bool (R,) crossing a
+        # fusion boundary materializes at the packed pred layout).
+        act_f = active.astype(jnp.float32)
     if alpha_shadow and not meta.has_alpha_layer:
         # Every material is OPAQUE -> GetAlpha == 1 -> the alpha loop's
         # first hit always lands transmission 0: EXACTLY the binary
         # any-hit semantics, minus the closest-hit loop dispatches.
         alpha_shadow = False
-    occ_pre = None
+    occ_pre = None  # 0/1 float mask
     if prepass and meta.shadow_prepass and scene.occluder_idx is not None:
         t_max_b = jnp.broadcast_to(t_max, (n,))
         occ_pre, _ = _proxy_occlusion(
             scene, origin, direction,
-            jnp.where(active, t_min, t_max_b + 1.0), t_max_b,
+            t_min * act_f + (t_max_b + 1.0) * (1.0 - act_f), t_max_b,
         )
-        active = active & ~occ_pre
+        act_f = act_f * (1.0 - occ_pre)
 
     def overlay(trans):
-        return trans if occ_pre is None else jnp.where(occ_pre, 0.0, trans)
+        return trans if occ_pre is None else trans * (1.0 - occ_pre)
 
     if not alpha_shadow:
-        eff_tmin = jnp.where(active, t_min, t_max + 1.0)
+        eff_tmin = t_min * act_f + (t_max + 1.0) * (1.0 - act_f)
         if meta.use_pallas:
             # ACCEPT_FIRST_HIT: any_hit retires a lane on its first hit
             # (PathTracer.lib.hlsl:1053-1079 ShadowAnyHit semantics).
@@ -1125,10 +1135,11 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
                 scene, meta, origin, direction, eff_tmin, t_max, any_hit=True,
                 sort_rays=True, sort_spatial=sort_spatial,
             )
-            occluded = hit.tri >= 0
+            trans = (hit.tri < 0).astype(jnp.float32)  # one fusion: i32 in, f32 out
         else:
             occluded = bvh_ops.intersect_any_p(scene.packed, origin, direction, eff_tmin, t_max)
-        return overlay(jnp.where(occluded, 0.0, 1.0))
+            trans = jnp.where(occluded, 0.0, 1.0)
+        return overlay(trans)
 
     # int32 lane-mask carry for the same pred-layout reason as _alpha_retry.
     def cond(state):
@@ -1151,7 +1162,7 @@ def trace_shadow(scene: PTScene, meta: PTMeta, origin, direction, t_max, alpha_s
         tmin_cur = jnp.where(alive, hit.t * (1.0 + 1e-5) + 1e-6, tmin_cur)
         return alive.astype(jnp.int32), trans, tmin_cur, it + 1
 
-    alive0 = active.astype(jnp.int32)
+    alive0 = act_f.astype(jnp.int32)
     trans0 = fzero + 1.0
     _, trans, _, _ = jax.lax.while_loop(cond, body, (alive0, trans0, t_min, 0))
     return overlay(trans)

@@ -318,10 +318,12 @@ def test_piz_corrupt_bitmap_span_rejected():
         piz.piz_uncompress(bad, [("R", 1)], 4, 4)
 
 
-def test_cube_quad_sampling_bit_exact(env):
+def test_cube_quad_sampling_bit_exact(env, monkeypatch):
     """build_cube_quads + quad sampling (the raster IBL 2-row path) must be
     bit-identical to the 8-row fused trilinear gather, including face-edge
-    clamps and level endpoints."""
+    clamps and level endpoints — with f32 rows (GLTF_TPU_QUADF32=1), which
+    isolates the indexing/corner-select logic from storage precision."""
+    monkeypatch.setenv("GLTF_TPU_QUADF32", "1")
     rs = np.random.RandomState(11)
     d = rs.normal(size=(512, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -340,3 +342,21 @@ def test_cube_quad_sampling_bit_exact(env):
     ref = E.sample_cube([env.diffuse], d, jnp.zeros(512))
     got = E.sample_cube([env.diffuse], d, jnp.zeros(512), quad=dq)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_cube_quad_f16_default_within_half_precision(env):
+    """Default quad rows are f16 (reference parity: the DX12 cube/ggx/
+    diffuse textures are R16G16B16A16_FLOAT, EnvironmentMap.cpp:93-120).
+    The quad path must match the f32 trilinear within f16 quantization of
+    the corner texels (relative 2^-11 per corner, summed over the lerp)."""
+    assert E.build_cube_quads([env.diffuse]).dtype == np.float16
+    rs = np.random.RandomState(13)
+    d = rs.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    n = len(env.ggx)
+    quad = jnp.asarray(E.build_cube_quads(env.ggx))
+    lvl = jnp.asarray(rs.uniform(0.0, n - 1.0, 512).astype(np.float32))
+    ref = np.asarray(E.sample_cube(env.ggx, d, lvl))
+    got = np.asarray(E.sample_cube(env.ggx, d, lvl, quad=quad))
+    np.testing.assert_allclose(got, ref, rtol=2.0 ** -10, atol=1e-6)

@@ -193,8 +193,13 @@ def test_proxy_occlusion_matches_brute_force():
         _Sc(), jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
         jnp.asarray(t_max), want_tcap=True,
     )
-    occ = np.asarray(occ)
+    occ_f = np.asarray(occ)
+    assert occ_f.dtype == np.float32  # 0/1 float mask (pred-layout rule)
+    assert set(np.unique(occ_f)) <= {0.0, 1.0}
+    occ = occ_f.astype(bool)
     tcap = np.asarray(tcap)
+    # No-hit lanes carry the large-finite NO_TCAP fill (minimum() no-op).
+    assert np.all(tcap[~occ] == pt.NO_TCAP)
     ref_any = hit_ref.any(-1)
     # No false hits ever; margin may drop boundary-grazing true hits only.
     assert not np.any(occ & ~ref_any)
@@ -279,7 +284,7 @@ def test_proxy_occlusion_no_false_hits_far_from_origin(offset):
         _Sc(), jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
     )
-    occ = np.asarray(occ)
+    occ = np.asarray(occ).astype(bool)
     false_hits = occ & ~hit_any
     assert not false_hits.any(), (offset, int(false_hits.sum()))
 

@@ -45,33 +45,24 @@ def steps(quick: bool):
     """(name, argv, env, timeout_s) in priority order: plain numbers first
     (a dead tunnel mid-queue should cost the A/Bs, not the headline).
 
-    Round-4b queue (after the first tunnel-up sweep): bench defaults to
-    spp=4; bf16rows is auto (ON for courtyard-scale); bf16box is i32-packed
-    (now compiles); courtyard2's leaf_hbm DMA is tile-aligned. The XLA
-    fallback at courtyard2 scale FAULTED the device — intentionally absent."""
+    Round-5b queue (post shading-path pred/layout batch): f16 quad tables
+    (GLTF_TPU_QUADF32=1 reverts to f32 storage for the A/B), float
+    present/corner masks everywhere, shadowpre bookkeeping de-pred'd —
+    re-testing shadowpre at spp4 because its measured loss predates the
+    pred-layout discovery."""
     bench = [sys.executable, "bench.py"]
     out = [
         ("helmet", bench, {}, 900),                      # spp4 default
-        ("helmet_spp1", bench, {"BENCH_SPP": "1"}, 900),  # vs round-3 3.30
-        ("helmet_bf16box", bench, {"GLTF_TPU_BF16BOX": "1"}, 900),
+        ("helmet_quadf32", bench, {"GLTF_TPU_QUADF32": "1"}, 900),
+        ("courtyard", bench, {"BENCH_SCENE": "courtyard"}, 1200),
     ]
     if quick:
-        return out  # helmet-only essentials, as documented
+        return out
     out += [
-        ("raster_stages", [sys.executable, "tools/bench_raststage.py"], {}, 1500),
-        ("courtyard", bench, {"BENCH_SCENE": "courtyard"}, 1200),
-        ("courtyard_combo", bench,
+        ("courtyard_shadowpre", bench,
          {"BENCH_SCENE": "courtyard", "GLTF_TPU_SHADOWPRE": "64"}, 1200),
-        ("courtyard_f32rows", bench,
-         {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16ROWS": "0"}, 1200),
-        ("courtyard_bf16box", bench,
-         {"BENCH_SCENE": "courtyard", "GLTF_TPU_BF16BOX": "1"}, 1200),
         ("raster_frame", [sys.executable, "tools/bench_raster.py"], {}, 1200),
-        # 1M-tri soak on the packet kernel: flush-synchronous vs prefetch DMA.
-        ("courtyard2_leafhbm", bench, {"BENCH_SCENE": "courtyard2"}, 2400),
-        ("courtyard2_prefetch", bench,
-         {"BENCH_SCENE": "courtyard2", "GLTF_TPU_LEAF_HBM": "2"}, 2400),
-        # (bench_raster runs raycast AND tiled visibility internally.)
+        ("helmet_spp1", bench, {"BENCH_SPP": "1"}, 900),
     ]
     return out
 
