@@ -35,9 +35,12 @@ def make_bench_fidelity():
 
     import bench as bench_mod
 
-    saved = {k: os.environ.get(k) for k in ("GLTF_TPU_QUAD", "GLTF_TPU_BF16ROWS")}
+    saved = {k: os.environ.get(k) for k in
+             ("GLTF_TPU_QUAD", "GLTF_TPU_BF16ROWS", "GLTF_TPU_QUADF32")}
     os.environ["GLTF_TPU_QUAD"] = "0"
     os.environ["GLTF_TPU_BF16ROWS"] = "0"
+    os.environ["GLTF_TPU_QUADF32"] = "1"  # f32 cube quads: the golden stays
+    # full-precision so the bench probe measures the f16 table quantization
     try:
         w, h = bench_mod.FIDELITY_RES
         scene, meta, settings, params, c2w, _ = bench_mod.build_bench_scene(w, h)
