@@ -316,16 +316,20 @@ def main():
     # Headline: pipelined (enqueue all steps, block once) — host-side chunk
     # loops pipeline on the tunnel, so this is the deployment-shaped number.
     t0 = time.time()
-    total_rays = 0.0
     acc = None
-    nan_count = 0.0
+    stats_list = []
     for i in range(steps):
         img, stats = trace_j(ptscene, c2w, jnp.uint32(i + 1))
         acc = img if acc is None else acc + img
-        total_rays += float(stats[0])
-        nan_count += float(stats[1])
-    jax.block_until_ready(acc)
+        # Keep stats ON DEVICE: float(stats[0]) here would block per step,
+        # serializing the loop on tunnel round-trips (round-5 profile showed
+        # the chip ~30-40% idle inside the "pipelined" window).
+        stats_list.append(stats)
+    totals = jnp.sum(jnp.stack(stats_list), 0)
+    jax.block_until_ready((acc, totals))
     elapsed = time.time() - t0
+    total_rays = float(totals[0])
+    nan_count = float(totals[1])
 
     # Per-step diagnostics (blocked; ~28 ms RPC overhead each): exposes
     # outlier steps so a variance-dominated run is visible in the artifact.

@@ -1551,6 +1551,43 @@ def trace(
 
 _trace_rays_jit = None
 
+# Device-resident (px, py, valid) chunk tiles, keyed by (w, h, chunk_pix,
+# spp). These are step-invariant: re-uploading them per chunk per step cost
+# ~2.25 MB of host->device tunnel traffic per dispatch (8 chunks x N steps
+# at 1080p) and serialized the enqueue loop on transfer RPCs — the round-5
+# profile showed the chip idle between chunk dispatches. One upload per
+# (resolution, chunk, spp) shape; row c is sliced on-device in the loop.
+_chunk_tiles_cache = {}
+
+
+def _chunk_tiles(w, h, chunk_pix, spp):
+    key = (w, h, chunk_pix, spp)
+    hit = _chunk_tiles_cache.get(key)
+    if hit is not None:
+        return hit
+    px_f, py_f, valid_f = _tile_order(w, h)
+    n = px_f.shape[0]
+    n_chunks = -(-n // chunk_pix)
+    pad = n_chunks * chunk_pix - n
+    px_p = np.concatenate([px_f, np.zeros(pad, px_f.dtype)]).reshape(n_chunks, chunk_pix)
+    py_p = np.concatenate([py_f, np.zeros(pad, py_f.dtype)]).reshape(n_chunks, chunk_pix)
+    va_p = np.concatenate([valid_f, np.zeros(pad, bool)]).reshape(n_chunks, chunk_pix)
+    if spp > 1:
+        px_p = np.tile(px_p, (1, spp))
+        py_p = np.tile(py_p, (1, spp))
+        va_p = np.tile(va_p, (1, spp))
+    # Pre-split into per-chunk device arrays so the dispatch loop does no
+    # eager slicing (each eager op is its own tunnel enqueue).
+    out = (
+        n,
+        n_chunks,
+        tuple(jnp.asarray(px_p[c]) for c in range(n_chunks)),
+        tuple(jnp.asarray(py_p[c]) for c in range(n_chunks)),
+        tuple(jnp.asarray(va_p[c]) for c in range(n_chunks)),
+    )
+    _chunk_tiles_cache[key] = out
+    return out
+
 
 def trace_chunked(
     scene: PTScene,
@@ -1586,13 +1623,7 @@ def trace_chunked(
     w, h = resolution
     assert chunk % spp == 0, (chunk, spp)
     chunk_pix = chunk // spp
-    px_f, py_f, valid_f = _tile_order(w, h)
-    n = px_f.shape[0]
-    n_chunks = -(-n // chunk_pix)
-    pad = n_chunks * chunk_pix - n
-    px_p = np.concatenate([px_f, np.zeros(pad, px_f.dtype)]).reshape(n_chunks, chunk_pix)
-    py_p = np.concatenate([py_f, np.zeros(pad, py_f.dtype)]).reshape(n_chunks, chunk_pix)
-    va_p = np.concatenate([valid_f, np.zeros(pad, bool)]).reshape(n_chunks, chunk_pix)
+    n, n_chunks, px_d, py_d, va_d = _chunk_tiles(w, h, chunk_pix, spp)
     if spp > 1:
         seed_vec = jnp.repeat(
             jnp.asarray(seed, jnp.uint32)
@@ -1605,15 +1636,13 @@ def trace_chunked(
         if spp > 1:
             col, rays = _trace_rays_jit(
                 scene, meta, settings, params, clip_to_world, (w, h), seed_vec,
-                jnp.asarray(np.tile(px_p[c], spp)),
-                jnp.asarray(np.tile(py_p[c], spp)),
-                jnp.asarray(np.tile(va_p[c], spp)),
+                px_d[c], py_d[c], va_d[c],
             )
             col = col.reshape(spp, chunk_pix, 3).mean(0)
         else:
             col, rays = _trace_rays_jit(
                 scene, meta, settings, params, clip_to_world, (w, h), seed,
-                jnp.asarray(px_p[c]), jnp.asarray(py_p[c]), jnp.asarray(va_p[c]),
+                px_d[c], py_d[c], va_d[c],
             )
         outs.append(col)
         rays_total.append(rays)
